@@ -1,0 +1,169 @@
+"""Tile binning: splat -> (tile, depth)-ordered instance lists, all static shapes.
+
+This replaces the reference's per-frame GPU sort machinery — the presort
+compaction with an atomic counter (ref: shader/presort_compute.glsl:50-55) and
+the full 32-bit radix sort of every visible splat (ref: src/splatrenderer.cpp:
+153-312, shader/multi_radixsort*.glsl) — with a TPU/XLA-native formulation:
+
+1. Splats arrive already globally sorted front-to-back (one length-N sort in
+   render.prepare_splats). Binning only has to group duplicates by tile while
+   *preserving* that order, so a single stable sort by tile id suffices — the
+   depth bits of the reference's radix key are unnecessary.
+2. Dynamic instance counts are handled with the searchsorted-enumeration trick:
+   a static-size instance buffer of capacity EMAX is mapped back to (splat,
+   tile-within-rect) pairs by binary search over the exclusive-cumsum offsets.
+   No atomics, no data-dependent shapes, no host readback (the reference stalls
+   the pipe every frame reading its counter, src/splatrenderer.cpp:196-204).
+3. Each tile's instance list is padded to a multiple of the compositing block
+   size B with *null instances* (splat index N -> an all-zero feature row).
+   Every B-block therefore belongs to exactly one tile, which removes all
+   masking from the composite kernels and gives the backward kernel exclusive
+   ownership of its output block. Overflow beyond capacity is counted and
+   reported, never silently ignored.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+from jax import lax
+
+
+@dataclasses.dataclass(frozen=True)
+class TileGrid:
+    """Static geometry of the tiled pipeline (hashable; jit-static)."""
+
+    width: int  # true image width in px
+    height: int
+    tile_size: int  # TS, pixels per tile side
+    block: int  # B, instances per composite block (power of two)
+    emax: int  # raw instance enumeration capacity
+    mcap: int  # aligned instance buffer capacity (multiple of block)
+    alpha_cutoff: float = 1.0 / 256.0
+    early_stop_eps: float = 0.0
+
+    @property
+    def tiles_x(self) -> int:
+        return -(-self.width // self.tile_size)
+
+    @property
+    def tiles_y(self) -> int:
+        return -(-self.height // self.tile_size)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+    @property
+    def num_blocks(self) -> int:  # NB: length of the flat block work-list
+        return self.mcap // self.block
+
+    @property
+    def tile_pixels(self) -> int:
+        return self.tile_size * self.tile_size
+
+    @staticmethod
+    def create(width, height, num_splats, tile_size=32, block=128,
+               max_instance_mult=6, alpha_cutoff=1.0 / 256.0, early_stop_eps=0.0):
+        assert block & (block - 1) == 0, "block must be a power of two"
+        emax = max(block, ((max_instance_mult * max(num_splats, 1) + block - 1) // block) * block)
+        tiles = (-(-width // tile_size)) * (-(-height // tile_size))
+        mcap = emax + tiles * block  # worst-case alignment padding: < block per tile
+        return TileGrid(
+            width=width, height=height, tile_size=tile_size, block=block,
+            emax=emax, mcap=mcap, alpha_cutoff=alpha_cutoff,
+            early_stop_eps=early_stop_eps,
+        )
+
+
+def bin_splats(mean2d, radius, grid: TileGrid):
+    """Build the (tile, depth)-ordered instance buffer and flat block work-list.
+
+    Args (all non-differentiable index plumbing; callers stop_gradient):
+      mean2d [N, 2] screen centers (gl convention, +y up), front-to-back order
+      radius [N] screen extent in px (0 = culled)
+
+    Returns dict:
+      inst_splat [mcap] int32 — splat index per instance slot (N = null)
+      block_tile [NB] int32 — owning tile of each B-block
+      block_first [NB] int32 — 1 iff block is the first of its tile
+      tile_ok [T] bool — tile was visited by the kernel (has >= 1 block that ran)
+      tile_count [T] int32 — true instance count per tile
+      num_culled_instances [] int32 — instances dropped by capacity overflow
+    """
+    n = mean2d.shape[0]
+    ts, tx_n, ty_n = grid.tile_size, grid.tiles_x, grid.tiles_y
+    num_tiles, b, emax, mcap, nb = grid.num_tiles, grid.block, grid.emax, grid.mcap, grid.num_blocks
+    h = grid.height
+
+    mx, my = mean2d[:, 0], mean2d[:, 1]
+    valid = radius > 0.0
+    x0 = jnp.clip(jnp.floor((mx - radius) / ts), 0, tx_n).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil((mx + radius) / ts), 0, tx_n).astype(jnp.int32)
+    # gl y-up -> image rows: row = height - y
+    r0 = jnp.clip(jnp.floor((h - my - radius) / ts), 0, ty_n).astype(jnp.int32)
+    r1 = jnp.clip(jnp.ceil((h - my + radius) / ts), 0, ty_n).astype(jnp.int32)
+    nx = jnp.maximum(x1 - x0, 0)
+    ny = jnp.maximum(r1 - r0, 0)
+    cnt = jnp.where(valid, nx * ny, 0).astype(jnp.int32)
+
+    offs = jnp.cumsum(cnt) - cnt  # exclusive
+    total = offs[-1] + cnt[-1] if n > 0 else jnp.int32(0)
+
+    # enumerate instance slots -> (splat, tile-within-rect)
+    m = jnp.arange(emax, dtype=jnp.int32)
+    s = jnp.clip(jnp.searchsorted(offs, m, side="right") - 1, 0, max(n - 1, 0)).astype(jnp.int32)
+    j = m - offs[s]
+    valid_m = m < total
+    nx_s = jnp.maximum(nx[s], 1)
+    tile = (r0[s] + j // nx_s) * tx_n + (x0[s] + j % nx_s)
+    tile = jnp.where(valid_m, tile, num_tiles)  # sentinel sorts to the end
+
+    # stable sort by tile preserves global front-to-back depth order per tile
+    tile_sorted, splat_sorted = lax.sort_key_val(tile, s, is_stable=True)
+
+    bounds = jnp.searchsorted(tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32))
+    tile_count = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
+    aligned = ((tile_count + b - 1) // b) * b
+    astart = jnp.cumsum(aligned) - aligned
+    total_aligned = astart[-1] + aligned[-1] if num_tiles > 0 else jnp.int32(0)
+
+    # within-tile rank from position in the sorted array
+    first_idx = jnp.searchsorted(tile_sorted, tile_sorted, side="left")
+    within = jnp.arange(emax, dtype=jnp.int32) - first_idx.astype(jnp.int32)
+    valid_sorted = tile_sorted < num_tiles
+    slot = jnp.where(
+        valid_sorted,
+        jnp.take(astart, jnp.clip(tile_sorted, 0, num_tiles - 1)) + within,
+        mcap,  # out of range -> dropped
+    )
+    inst_splat = jnp.full((mcap,), n, jnp.int32).at[slot].set(splat_sorted, mode="drop")
+
+    # flat block work-list
+    bcount = aligned // b
+    boffs = jnp.cumsum(bcount) - bcount
+    total_blocks = jnp.minimum(boffs[-1] + bcount[-1], nb) if num_tiles > 0 else jnp.int32(0)
+    bb = jnp.arange(nb, dtype=jnp.int32)
+    tb = jnp.clip(jnp.searchsorted(boffs, bb, side="right") - 1, 0, num_tiles - 1).astype(jnp.int32)
+    valid_b = bb < total_blocks
+    # padding blocks revisit the tile of the last real block with null
+    # instances (no-op), so they never clobber another tile's output
+    last_tile = jnp.where(
+        total_blocks > 0, jnp.take(tb, jnp.clip(total_blocks - 1, 0, nb - 1)), 0
+    )
+    block_tile = jnp.where(valid_b, tb, last_tile).astype(jnp.int32)
+    block_first = (valid_b & (bb == jnp.take(boffs, tb))).astype(jnp.int32)
+
+    # a tile's output is defined iff its first block actually ran
+    tile_ok = (tile_count > 0) & (boffs < total_blocks)
+
+    overflow = jnp.maximum(total - emax, 0) + jnp.maximum(total_aligned - mcap, 0)
+    return {
+        "inst_splat": inst_splat,
+        "block_tile": block_tile,
+        "block_first": block_first,
+        "tile_ok": tile_ok,
+        "tile_count": tile_count,
+        "num_culled_instances": overflow.astype(jnp.int32),
+    }

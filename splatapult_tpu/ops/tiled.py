@@ -1,0 +1,81 @@
+"""Tiled render path: binning + gather + Pallas composite + image assembly.
+
+The production pipeline for real scene sizes (the v0 global path in render.py
+is O(N * P) and kept as a second-tier oracle). Differentiability: the binning
+indices are non-differentiable plumbing (stop_gradient); gradients flow through
+the feature gather's natural VJP (scatter-add back to splats) and the composite
+kernel's hand-written VJP (ops/composite.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from splatapult_tpu.ops.binning import TileGrid, bin_splats
+from splatapult_tpu.ops.composite import NUM_FEATS, composite_instances
+
+
+def _grid_from_config(config, num_splats: int) -> TileGrid:
+    return TileGrid.create(
+        width=config.width,
+        height=config.height,
+        num_splats=num_splats,
+        tile_size=config.tile_size,
+        block=config.tile_block,
+        max_instance_mult=config.max_instance_mult,
+        alpha_cutoff=config.alpha_cutoff,
+        early_stop_eps=config.early_stop_eps,
+    )
+
+
+def pack_features(mean2d, conic, rgb, alpha):
+    """[N] splat arrays -> [N + 1, 16] feature rows; last row is the null splat."""
+    n = mean2d.shape[0]
+    feats = jnp.concatenate(
+        [mean2d, conic, rgb, alpha[:, None],
+         jnp.zeros((n, NUM_FEATS - 9), mean2d.dtype)],
+        axis=1,
+    )
+    return jnp.concatenate([feats, jnp.zeros((1, NUM_FEATS), feats.dtype)], axis=0)
+
+
+def composite_tiled(sorted_splats, config, return_aux: bool = False):
+    """Render sorted splats through the tiled Pallas pipeline -> [H, W, 4]."""
+    mean2d = sorted_splats["mean2d"]
+    n = mean2d.shape[0]
+    grid = _grid_from_config(config, n)
+
+    bins = bin_splats(
+        jax.lax.stop_gradient(mean2d),
+        jax.lax.stop_gradient(sorted_splats["radius"]),
+        grid,
+    )
+
+    feats = pack_features(
+        mean2d, sorted_splats["conic"], sorted_splats["rgb"], sorted_splats["alpha"]
+    )
+    inst = jnp.take(feats, bins["inst_splat"], axis=0)  # [Mcap, 16], diff'able gather
+
+    out = composite_instances(inst, bins["block_tile"], bins["block_first"], grid)
+
+    # tiles never visited by the kernel hold garbage -> transparent background
+    background = jnp.concatenate(
+        [jnp.zeros((4,)), jnp.ones((1,)), jnp.zeros((3,))]
+    ).astype(out.dtype)
+    out = jnp.where(bins["tile_ok"][:, None, None], out, background[None, :, None])
+
+    ts = grid.tile_size
+    img = (
+        out[:, :4, :]
+        .reshape(grid.tiles_y, grid.tiles_x, 4, ts, ts)
+        .transpose(0, 3, 1, 4, 2)
+        .reshape(grid.tiles_y * ts, grid.tiles_x * ts, 4)
+    )
+    img = img[: config.height, : config.width, :]
+    if return_aux:
+        return img, {
+            "num_culled_instances": bins["num_culled_instances"],
+            "tile_count": bins["tile_count"],
+        }
+    return img

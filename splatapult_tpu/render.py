@@ -1,0 +1,229 @@
+"""The jitted differentiable render pipeline: bake -> project -> cull -> sort -> composite.
+
+This is the functional re-architecture of the reference's per-frame GPU pipeline
+(ref: src/splatrenderer.cpp:153-343 orchestrating presort_compute.glsl,
+multi_radixsort*.glsl and the splat_vert/geom/frag chain):
+
+    image = render(scene, camera, config)        # jit-able, vmap-able
+    grads flow to means / scales / rotations / opacities / SH.
+
+Differences by design, not translation:
+- No host<->device sync: the reference reads back an atomic splat counter every
+  frame (ref: src/splatrenderer.cpp:196-204); here culled splats are masked and
+  pushed to the end of a static-shape sort instead.
+- Front-to-back transmittance compositing in blocks (a scan carrying
+  (accumulated color, transmittance)) replaces hardware back-to-front "over"
+  blending (ref: src/app.cpp:153-156) — mathematically identical, and the
+  carry structure is what makes a memory-light custom VJP possible.
+- Precision knob: ``accum_dtype`` mirrors --fp16/--fp32 offscreen accumulation
+  (ref: src/app.cpp:1000-1035, README.md:25-29), with bf16 as the TPU-native
+  half-precision type.
+- SH knob: ``sh_degree=0`` mirrors --nosh (ref: src/app.cpp:335).
+- sRGB knob: mirrors the FRAMEBUFFER_SRGB shader specialization
+  (ref: shader/splat_vert.glsl:209-218).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from splatapult_tpu.core import transforms
+from splatapult_tpu.core.project import ALPHA_CUTOFF, ProjectedSplats, project_gaussians, view_dirs
+from splatapult_tpu.core.sh import eval_sh_radiance
+from splatapult_tpu.io.gaussians import GaussianScene
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Camera:
+    """Dynamic camera state (traceable pytree).
+
+    cam_to_world: [4, 4] GL-style camera matrix (-Z forward, +Y up), the
+        reference's ``cameraMat``. The view matrix is its inverse.
+    proj: [4, 4] GL-convention projection (see transforms.perspective /
+        projection_from_tan_angles).
+    """
+
+    cam_to_world: jax.Array
+    proj: jax.Array
+
+    @staticmethod
+    def from_fov(cam_to_world, fovy: float, width: int, height: int,
+                 near: float = 0.1, far: float = 1000.0) -> "Camera":
+        """Default desktop camera: FOVY 45deg, near 0.1, far 1000
+        (ref: src/app.cpp:73-75, src/sdl_main.cpp:72-73)."""
+        proj = transforms.perspective(fovy, width / height, near, far)
+        return Camera(cam_to_world=jnp.asarray(cam_to_world, jnp.float32), proj=proj)
+
+    def with_floor_transform(self, floor_mat) -> "Camera":
+        """Compose a world/floor transform onto the camera, the way the VR
+        carpet matrix multiplies the eye pose (ref: src/app.cpp:578)."""
+        return Camera(
+            cam_to_world=jnp.asarray(floor_mat, jnp.float32) @ self.cam_to_world,
+            proj=self.proj,
+        )
+
+    @property
+    def eye(self) -> jax.Array:
+        return self.cam_to_world[..., :3, 3]
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render options (hashable; safe as a jit static arg)."""
+
+    width: int = 1024  # default window 1024x768 (ref: src/sdl_main.cpp:72-73)
+    height: int = 768
+    sh_degree: Optional[int] = None  # None = use all stored coeffs; 0 = --nosh analog
+    srgb_radiance_to_linear: bool = False  # FRAMEBUFFER_SRGB analog
+    accum_dtype: str = "float32"  # "float32" | "bfloat16" (--fp32/--fp16 analog)
+    pipeline: str = "auto"  # "auto" | "global" | "tiled"
+    block_size: int = 64  # splats per composite scan step (global pipeline)
+    # 1/256 discard threshold (ref: shader/splat_frag.glsl:38-41). It is a hard
+    # discontinuity; set 0.0 for a fully smooth render (e.g. gradient checks).
+    alpha_cutoff: float = ALPHA_CUTOFF
+    # --- tiled pipeline knobs (ops/tiled.py) ---
+    tile_size: int = 32  # pixels per tile side
+    tile_block: int = 128  # instances per compositing block
+    max_instance_mult: int = 6  # instance-buffer capacity as a multiple of N
+    early_stop_eps: float = 0.0  # skip blocks once max transmittance < eps (0 = exact)
+
+
+def prepare_splats(scene: GaussianScene, camera: Camera, config: RenderConfig):
+    """Shared front end: bake + project + SH + depth sort (front-to-back).
+
+    Returns per-splat arrays sorted front-to-back with culled splats pushed to
+    the back carrying zero alpha, plus the survivor mask (sorted).
+    """
+    means = scene.means
+    cov3 = transforms.bake_covariance(scene.quats, scene.log_scales)
+    alpha = jax.nn.sigmoid(scene.opacities)  # ref: src/gaussiancloud.cpp:119-122
+
+    view = transforms.invert_rigid(camera.cam_to_world)
+    proj: ProjectedSplats = project_gaussians(
+        means, cov3, view, camera.proj, (config.width, config.height)
+    )
+
+    rgb = eval_sh_radiance(scene.sh, view_dirs(means, camera.eye), config.sh_degree)
+    if config.srgb_radiance_to_linear:
+        rgb = transforms.srgb_to_linear(rgb)
+
+    # Front-to-back order: ascending view depth; culled splats get +inf keys so
+    # they land at the end (static-shape replacement for the reference's atomic
+    # compaction, ref: shader/presort_compute.glsl:50-55). The reference's
+    # stable radix sort draws equal-depth splats back-to-front in submission
+    # order (ref: shader/presort_compute.glsl:52-53), so the equivalent
+    # front-to-back order must break ties by *descending* index.
+    key = jnp.where(proj.mask, proj.depth, jnp.inf)
+    n = key.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, _, order = jax.lax.sort((key, -idx, idx), num_keys=2)
+
+    take = lambda x: jnp.take(x, order, axis=0)
+    alpha_eff = jnp.where(proj.mask, alpha, 0.0)
+    return {
+        "mean2d": take(proj.mean2d),
+        "conic": take(proj.conic),
+        "rgb": take(rgb),
+        "alpha": take(alpha_eff),
+        "depth": take(proj.depth),
+        "radius": take(proj.radius),
+        "mask": take(proj.mask),
+    }
+
+
+def _composite_global(sorted_splats, config: RenderConfig) -> jax.Array:
+    """Whole-image blockwise front-to-back composite.
+
+    O(N * P): every splat is evaluated against every pixel, masked by the 1/256
+    cutoff. Correct and differentiable for any scene; intended for small scenes
+    and as the second-tier oracle for the tiled pipeline. The scan carry is
+    (accumulated premultiplied RGB, transmittance) per pixel; within a block the
+    front-to-back products are closed-form via cumprod, and the color gather is
+    a [P, B] x [B, 3] matmul that lands on the MXU.
+    """
+    h, w = config.height, config.width
+    p = h * w
+    dtype = jnp.dtype(config.accum_dtype)
+    b = config.block_size
+
+    n = sorted_splats["mean2d"].shape[0]
+    nb = -(-n // b)
+    pad = nb * b - n
+
+    def pad0(x):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+    mean2d = pad0(sorted_splats["mean2d"]).reshape(nb, b, 2)
+    conic = pad0(sorted_splats["conic"]).reshape(nb, b, 3)
+    rgb = pad0(sorted_splats["rgb"]).reshape(nb, b, 3)
+    alpha = pad0(sorted_splats["alpha"]).reshape(nb, b)
+
+    # gl_FragCoord-style pixel centers, row 0 = top of image
+    px = jnp.arange(w, dtype=jnp.float32) + 0.5
+    py = h - (jnp.arange(h, dtype=jnp.float32) + 0.5)
+    gx = jnp.tile(px[None, :], (h, 1)).reshape(p)
+    gy = jnp.tile(py[:, None], (1, w)).reshape(p)
+
+    def step(carry, blk):
+        color, trans = carry  # [P, 3], [P]
+        m2, cn, cb, ab = blk
+        dx = gx[None, :] - m2[:, 0:1]  # [B, P]
+        dy = gy[None, :] - m2[:, 1:2]
+        # g = exp(-0.5 d^T conic d) (ref: shader/splat_frag.glsl:20-25)
+        q = cn[:, 0:1] * dx * dx + 2.0 * cn[:, 1:2] * dx * dy + cn[:, 2:3] * dy * dy
+        g = jnp.exp(-0.5 * q)
+        wgt = ab[:, None] * g
+        if config.alpha_cutoff > 0.0:
+            wgt = jnp.where(wgt > config.alpha_cutoff, wgt, 0.0)  # shader/splat_frag.glsl:38-41
+        wgt = wgt.astype(dtype)
+        one_minus = 1.0 - wgt
+        t_cum = jnp.cumprod(one_minus, axis=0)  # transmittance after each splat in block
+        t_before = jnp.concatenate([jnp.ones_like(t_cum[:1]), t_cum[:-1]], axis=0)
+        eff = t_before * wgt  # [B, P] per-splat effective weight within block
+        contrib = jnp.einsum("bp,bc->pc", eff, cb.astype(dtype), preferred_element_type=dtype)
+        color = color + trans[:, None] * contrib
+        trans = trans * t_cum[-1]
+        return (color, trans), None
+
+    init = (jnp.zeros((p, 3), dtype), jnp.ones((p,), dtype))
+    (color, trans), _ = jax.lax.scan(step, init, (mean2d, conic, rgb, alpha))
+    img = jnp.concatenate([color, (1.0 - trans)[:, None]], axis=-1)
+    return img.reshape(h, w, 4).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def render(scene: GaussianScene, camera: Camera, config: RenderConfig) -> jax.Array:
+    """Render one view -> [H, W, 4] premultiplied RGBA (row 0 = top).
+
+    The functional replacement for SplatRenderer::Sort + SplatRenderer::Render
+    (ref: src/splatrenderer.cpp:153-343).
+    """
+    sorted_splats = prepare_splats(scene, camera, config)
+    pipeline = config.pipeline
+    if pipeline == "auto":
+        pipeline = "tiled" if scene.means.shape[0] >= 4096 else "global"
+    if pipeline == "global":
+        return _composite_global(sorted_splats, config)
+    elif pipeline == "tiled":
+        from splatapult_tpu.ops.tiled import composite_tiled
+
+        return composite_tiled(sorted_splats, config)
+    raise ValueError(f"unknown pipeline {config.pipeline!r}")
+
+
+def render_batch(scene: GaussianScene, cameras: Camera, config: RenderConfig) -> jax.Array:
+    """vmap over a camera batch -> [V, H, W, 4].
+
+    The batch analog of the reference's camera-path cycling (`n`/`p` keys,
+    ref: src/app.cpp:650-674) and of its stereo two-view loop
+    (ref: src/app.cpp:603-607); the per-splat projection/sort work that the
+    reference shares across stereo eyes is shared here by XLA CSE where views
+    coincide, and otherwise batched.
+    """
+    return jax.vmap(lambda cam: render(scene, cam, config))(cameras)

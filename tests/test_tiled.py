@@ -1,0 +1,198 @@
+"""Tiled Pallas pipeline tests: binning invariants, forward equivalence vs. the
+global pipeline, and hand-written-VJP equivalence vs. autodiff of the global
+pipeline (SURVEY.md section 4 items 2-4; BASELINE config 3 correctness side).
+
+Runs in Pallas interpreter mode on CPU (ops/composite._interpret)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from splatapult_tpu.core import transforms as T
+from splatapult_tpu.io.gaussians import GaussianScene, make_debug_scene
+from splatapult_tpu.ops.binning import TileGrid, bin_splats
+from splatapult_tpu.render import Camera, RenderConfig, render
+
+# small blocks/tiles so CPU interpreter tests stay fast
+TILED = RenderConfig(
+    width=64, height=64, pipeline="tiled", tile_size=16, tile_block=8, max_instance_mult=20
+)
+GLOBAL = dataclasses.replace(TILED, pipeline="global", block_size=8)
+
+
+def _camera(cfg=TILED, eye=(1.2, 1.1, 1.3)):
+    c2w = T.look_at(eye=list(eye), target=[0.3, 0.3, 0.3], up=[0.0, 1.0, 0.0])
+    return Camera.from_fov(c2w, fovy=np.pi / 4, width=cfg.width, height=cfg.height)
+
+
+def _random_scene(rng, n=64, spread=0.8):
+    means = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    sh = rng.standard_normal((n, 3, 1)).astype(np.float32) * 0.5
+    opac = rng.uniform(-1.0, 2.5, (n,)).astype(np.float32)
+    log_scales = rng.uniform(-3.5, -1.5, (n, 3)).astype(np.float32)
+    quats = rng.standard_normal((n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    return GaussianScene(
+        means=jnp.asarray(means), sh=jnp.asarray(sh), opacities=jnp.asarray(opac),
+        log_scales=jnp.asarray(log_scales), quats=jnp.asarray(quats),
+    )
+
+
+# ---------------------------------------------------------------- binning
+
+
+def test_binning_basic_invariants():
+    grid = TileGrid.create(width=64, height=64, num_splats=4, tile_size=16, block=8)
+    # splat 0: interior of one tile; splat 1: culled;
+    # splat 2: large, covers everything; splat 3: top-left corner
+    mean2d = jnp.asarray([[8.0, 40.0], [0.0, 0.0], [32.0, 32.0], [4.0, 60.0]])
+    radius = jnp.asarray([4.0, 0.0, 100.0, 4.0])
+    bins = bin_splats(mean2d, radius, grid)
+    inst = np.asarray(bins["inst_splat"])
+    tcount = np.asarray(bins["tile_count"])
+    assert tcount.sum() == 1 + 0 + 16 + 1
+    assert int(bins["num_culled_instances"]) == 0
+    # splat 2 appears in all 16 tiles
+    assert (inst == 2).sum() == 16
+    assert (inst == 1).sum() == 0
+    # null padding fills the rest
+    assert (inst == 4).sum() == inst.shape[0] - 18
+    # y axis: screen y=60 (gl, +y up) is near the TOP -> tile row 0
+    # tile of splat 3 must be row 0, col 0
+    bt = np.asarray(bins["block_tile"])
+    bf = np.asarray(bins["block_first"])
+    # block list covers each nonempty tile exactly ceil(count/8) times
+    blocks_expected = int(np.sum((tcount + 7) // 8))
+    assert bf.sum() == (tcount > 0).sum()
+    assert len(np.unique(bt[: blocks_expected])) == (tcount > 0).sum()
+
+
+def test_binning_depth_order_preserved():
+    # instances within a tile must keep the (front-to-back) input order
+    grid = TileGrid.create(width=32, height=32, num_splats=8, tile_size=16, block=8)
+    mean2d = jnp.tile(jnp.asarray([[8.0, 8.0]]), (8, 1))  # all in one tile
+    radius = jnp.full((8,), 2.0)
+    bins = bin_splats(mean2d, radius, grid)
+    inst = np.asarray(bins["inst_splat"])
+    # the tile owning pixel (8, 8): gl y=8 -> row 24 -> tile row 1; col 0
+    members = inst[inst < 8]
+    np.testing.assert_array_equal(members, np.arange(8))
+
+
+def test_binning_overflow_reported():
+    grid = TileGrid.create(width=32, height=32, num_splats=2, tile_size=16, block=8,
+                           max_instance_mult=1)
+    # grid.emax = 8; two splats covering all 4 tiles -> 8 instances: fits.
+    mean2d = jnp.tile(jnp.asarray([[16.0, 16.0]]), (2, 1))
+    radius = jnp.full((2,), 100.0)
+    bins = bin_splats(mean2d, radius, grid)
+    assert int(bins["num_culled_instances"]) == 0
+    # three such splats -> 12 raw instances > emax=8 -> overflow reported
+    grid3 = TileGrid.create(width=32, height=32, num_splats=3, tile_size=16, block=8,
+                            max_instance_mult=1)
+    assert grid3.emax == 8
+    mean3 = jnp.tile(jnp.asarray([[16.0, 16.0]]), (3, 1))
+    bins3 = bin_splats(mean3, jnp.full((3,), 100.0), grid3)
+    assert int(bins3["num_culled_instances"]) > 0
+
+
+# ---------------------------------------------------------------- forward
+
+
+def test_tiled_matches_global_debug_scene():
+    scene = make_debug_scene()
+    cam = _camera()
+    a = np.asarray(render(scene, cam, TILED))
+    b = np.asarray(render(scene, cam, GLOBAL))
+    assert a.shape == b.shape == (64, 64, 4)
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_tiled_matches_global_random_scenes(rng):
+    for trial in range(3):
+        scene = _random_scene(rng, n=48)
+        cam = _camera(eye=(1.2 + 0.2 * trial, 1.0, 1.4 - 0.3 * trial))
+        a = np.asarray(render(scene, cam, TILED))
+        b = np.asarray(render(scene, cam, GLOBAL))
+        np.testing.assert_allclose(a, b, atol=3e-5, err_msg=f"trial {trial}")
+
+
+def test_tiled_nonsquare_image():
+    cfg = dataclasses.replace(TILED, width=80, height=48)
+    gcfg = dataclasses.replace(cfg, pipeline="global")
+    scene = make_debug_scene()
+    cam = Camera.from_fov(
+        T.look_at(eye=[1.2, 1.1, 1.3], target=[0.3, 0.3, 0.3], up=[0, 1, 0]),
+        fovy=np.pi / 4, width=80, height=48,
+    )
+    a = np.asarray(render(scene, cam, cfg))
+    b = np.asarray(render(scene, cam, gcfg))
+    assert a.shape == (48, 80, 4)
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_tiled_tile_size_invariance(rng):
+    scene = _random_scene(rng, n=32)
+    cam = _camera()
+    imgs = []
+    for ts, blk in ((8, 8), (16, 8), (32, 16)):
+        # small tiles multiply the per-splat instance count; give headroom
+        cfg = dataclasses.replace(TILED, tile_size=ts, tile_block=blk, max_instance_mult=64)
+        imgs.append(np.asarray(render(scene, cam, cfg)))
+    np.testing.assert_allclose(imgs[0], imgs[1], atol=2e-5)
+    np.testing.assert_allclose(imgs[1], imgs[2], atol=2e-5)
+
+
+def test_tiled_empty_view():
+    # camera looking away from every splat: defined, fully transparent output
+    scene = make_debug_scene()
+    c2w = T.look_at(eye=[0.0, 0.0, 5.0], target=[0.0, 0.0, 10.0], up=[0, 1, 0])
+    cam = Camera.from_fov(c2w, fovy=np.pi / 4, width=64, height=64)
+    img = np.asarray(render(scene, cam, TILED))
+    np.testing.assert_allclose(img, 0.0, atol=1e-7)
+
+
+# ---------------------------------------------------------------- backward
+
+
+def test_tiled_grads_match_global(rng):
+    scene = _random_scene(rng, n=40)
+    cam = _camera()
+    target = jnp.asarray(rng.uniform(size=(64, 64, 4)), jnp.float32)
+
+    def loss(cfg):
+        return lambda s: jnp.mean((render(s, cam, cfg) - target) ** 2)
+
+    # At the default 1/256 cutoff both pipelines compute the *identical*
+    # function (the cutoff radius 3.33 sigma sits inside the 3.5 sigma binning
+    # extent), so the hand-written VJP must match global autodiff tightly.
+    gt = jax.grad(loss(TILED))(scene)
+    gg = jax.grad(loss(GLOBAL))(scene)
+    for name in ("means", "sh", "opacities", "log_scales", "quats"):
+        a, b = np.asarray(getattr(gt, name)), np.asarray(getattr(gg, name))
+        assert np.isfinite(a).all(), name
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-5, err_msg=name)
+
+    # With cutoff=0 the pipelines differ by the gaussian tail mass beyond the
+    # 3.5 sigma binning radius (~exp(-6.125) ~ 2e-3 relative); allow that much.
+    gt0 = jax.grad(loss(dataclasses.replace(TILED, alpha_cutoff=0.0)))(scene)
+    gg0 = jax.grad(loss(dataclasses.replace(GLOBAL, alpha_cutoff=0.0)))(scene)
+    for name in ("means", "sh", "opacities", "log_scales", "quats"):
+        a, b = np.asarray(getattr(gt0, name)), np.asarray(getattr(gg0, name))
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-3, err_msg=name)
+
+
+def test_tiled_grads_with_cutoff_finite(rng):
+    scene = _random_scene(rng, n=24)
+    cam = _camera()
+
+    def loss(s):
+        return jnp.mean(render(s, cam, TILED) ** 2)
+
+    g = jax.grad(loss)(scene)
+    for name in ("means", "sh", "opacities", "log_scales", "quats"):
+        assert np.isfinite(np.asarray(getattr(g, name))).all(), name
