@@ -1,0 +1,162 @@
+"""Benchmark: fwd+bwd tiled splat rendering throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric (BASELINE.json): rays/s (= pixels/s) per chip, forward+backward, 1080p.
+The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is therefore
+normalized against the interactive rate its design implies on desktop GPU —
+60 FPS at its default 1024x768 window (src/sdl_main.cpp:72-73, fps counter
+sdl_main.cpp:157-164) = 47.2 Mpixel/s, *forward only*. We report forward+
+backward pixels/s against that bar.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+REFERENCE_PIXELS_PER_S = 60.0 * 1024 * 768  # implied interactive rate, fwd-only
+
+
+def make_scene(num_splats: int, seed: int = 0):
+    import jax.numpy as jnp
+
+    from splatapult_tpu.io.gaussians import GaussianScene
+
+    rng = np.random.default_rng(seed)
+    quats = rng.standard_normal((num_splats, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    # mip-nerf-360-like statistics: splats concentrated in a unit ball with
+    # screen footprints of a few pixels
+    means = rng.standard_normal((num_splats, 3)).astype(np.float32)
+    means *= (rng.uniform(0, 1, (num_splats, 1)) ** (1 / 3)) / np.maximum(
+        np.linalg.norm(means, axis=1, keepdims=True), 1e-6
+    )
+    return GaussianScene(
+        means=jnp.asarray(means * 2.0),
+        sh=jnp.asarray(rng.standard_normal((num_splats, 3, 16)) * 0.3, jnp.float32),
+        opacities=jnp.asarray(rng.uniform(-2.0, 3.0, (num_splats,)), jnp.float32),
+        log_scales=jnp.asarray(rng.uniform(-6.5, -4.5, (num_splats, 3)), jnp.float32),
+        quats=jnp.asarray(quats),
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--splats", type=int, default=1_000_000)
+    parser.add_argument("--width", type=int, default=1920)
+    parser.add_argument("--height", type=int, default=1080)
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--fwd-only", action="store_true")
+    parser.add_argument("--instance-mult", type=int, default=4)
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from splatapult_tpu.core import transforms as T
+    from splatapult_tpu.render import Camera, RenderConfig, render
+
+    scene = make_scene(args.splats)
+    cam = Camera.from_fov(
+        T.look_at(eye=[0.0, 0.8, 4.5], target=[0, 0, 0], up=[0, 1, 0]),
+        fovy=np.pi / 4, width=args.width, height=args.height,
+    )
+    config = RenderConfig(
+        width=args.width, height=args.height, pipeline="tiled",
+        tile_size=32, tile_block=128, max_instance_mult=args.instance_mult,
+    )
+
+    # Timing methodology: this environment's TPU tunnel makes
+    # jax.block_until_ready a no-op until the first device->host readback, and
+    # synchronous-per-dispatch (+~25 ms protocol) afterwards. The only honest
+    # measurement is K data-chained steps inside ONE jitted program, ended by
+    # one scalar readback; per-step = (total - one protocol round trip) / K.
+    k = args.iters
+
+    if args.fwd_only:
+        def one_step(s, c, eps):
+            img = render(
+                GaussianScene(
+                    means=s.means + eps, sh=s.sh, opacities=s.opacities,
+                    log_scales=s.log_scales, quats=s.quats,
+                ),
+                c, config,
+            )
+            return img[0, 0, 0] * 1e-30  # data dependency for the next step
+    else:
+        def loss(s, c):
+            return jnp.mean(render(s, c, config) ** 2)
+
+        grad_loss = jax.value_and_grad(loss)
+
+        def one_step(s, c, eps):
+            val, grads = grad_loss(
+                GaussianScene(
+                    means=s.means + eps, sh=s.sh, opacities=s.opacities,
+                    log_scales=s.log_scales, quats=s.quats,
+                ),
+                c,
+            )
+            return (val + grads.means[0, 0]) * 1e-30
+
+    from splatapult_tpu.io.gaussians import GaussianScene
+
+    def k_steps(s, c, k_iters):
+        def body(_, eps):
+            return one_step(s, c, eps)
+
+        return jax.lax.fori_loop(0, k_iters, body, jnp.float32(0.0))
+
+    run1 = jax.jit(lambda s, c: k_steps(s, c, 1))
+    runk = jax.jit(lambda s, c: k_steps(s, c, k))
+
+    t0 = time.time()
+    float(run1(scene, cam))  # compile + first readback (switches to sync mode)
+    compile_s = time.time() - t0
+    for _ in range(max(args.warmup, 1)):
+        t_single = time.perf_counter()
+        float(run1(scene, cam))
+        t_single = time.perf_counter() - t_single
+    float(runk(scene, cam))  # compile the K-loop
+    trials = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(runk(scene, cam))
+        trials.append(time.perf_counter() - t0)
+    t_k = min(trials)
+    # subtract the protocol round trip (measured as the K=1 total minus its
+    # own estimated compute: with K steps, overhead cancels in the difference)
+    dt = max((t_k - t_single) / (k - 1), 1e-9) if k > 1 else t_k
+
+    pixels = args.width * args.height
+    value = pixels / dt
+    if args.verbose:
+        import sys
+
+        print(
+            f"# compile={compile_s:.1f}s step={dt * 1e3:.2f}ms "
+            f"(1-step total={t_single * 1e3:.1f}ms, {k}-step total={t_k * 1e3:.1f}ms) "
+            f"splats={args.splats} {args.width}x{args.height} "
+            f"mode={'fwd' if args.fwd_only else 'fwd+bwd'}",
+            file=sys.stderr,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "pixels/s per chip fwd+bwd 1080p"
+                if not args.fwd_only
+                else "pixels/s per chip fwd 1080p",
+                "value": value,
+                "unit": "pixels/s",
+                "vs_baseline": value / REFERENCE_PIXELS_PER_S,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

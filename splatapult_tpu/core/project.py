@@ -51,13 +51,23 @@ def project_gaussians(
 ) -> ProjectedSplats:
     width, height = viewport
 
-    # --- view transform t = V * p (ref: shader/splat_vert.glsl:157)
-    t = means @ view_mat[:3, :3].T + view_mat[:3, 3]  # [N, 3]
+    # --- view transform t = V * p (ref: shader/splat_vert.glsl:157).
+    # Explicit component sums keep the 3-long contractions off the MXU.
+    mx, my_, mz = means[:, 0], means[:, 1], means[:, 2]
+    t = jnp.stack(
+        [view_mat[i, 0] * mx + view_mat[i, 1] * my_ + view_mat[i, 2] * mz + view_mat[i, 3]
+         for i in range(3)],
+        axis=-1,
+    )  # [N, 3]
     tz = t[:, 2]
 
     # --- perspective divide / NDC (ref: shader/splat_vert.glsl:200-203)
-    p_clip = t @ proj_mat[:3, :3].T + proj_mat[:3, 3]  # xyz rows of projMat @ t
-    w_clip = t @ proj_mat[3, :3] + proj_mat[3, 3]  # = -tz for GL projections
+    def proj_row(i):
+        return (proj_mat[i, 0] * t[:, 0] + proj_mat[i, 1] * t[:, 1]
+                + proj_mat[i, 2] * t[:, 2] + proj_mat[i, 3])
+
+    p_clip = jnp.stack([proj_row(0), proj_row(1), proj_row(2)], axis=-1)
+    w_clip = proj_row(3)  # = -tz for GL projections
     depth = w_clip
     safe_w = jnp.where(jnp.abs(w_clip) < 1e-12, 1e-12, w_clip)
     ndc = p_clip / safe_w[:, None]  # [N, 3]
@@ -84,15 +94,18 @@ def project_gaussians(
     jty = (sy * height) * 0.5 * t[:, 1] * inv_tz2
 
     # JW: rows of the 2x3 matrix [[jsx,0,jtx],[0,jsy,jty]] times W = view rotation.
+    # All contractions are written as explicit component sums on [N] vectors:
+    # einsum over 3-long axes would lower to MXU-padded batched dots (slow,
+    # large padded temporaries); this stays on the VPU.
     W = view_mat[:3, :3]
-    jw_row0 = jsx[:, None] * W[0][None, :] + jtx[:, None] * W[2][None, :]  # [N, 3]
-    jw_row1 = jsy[:, None] * W[1][None, :] + jty[:, None] * W[2][None, :]
+    jw0 = [jsx * W[0, k] + jtx * W[2, k] for k in range(3)]  # 3 x [N]
+    jw1 = [jsy * W[1, k] + jty * W[2, k] for k in range(3)]
     # cov2d = (JW) V (JW)^T, top-left 2x2 (ref: shader/splat_vert.glsl:183-191)
-    v0 = jnp.einsum("nij,nj->ni", cov3, jw_row0)  # V (JW row0)^T
-    v1 = jnp.einsum("nij,nj->ni", cov3, jw_row1)
-    a = jnp.einsum("ni,ni->n", jw_row0, v0) + COV2D_DILATION  # +0.3 px low-pass
-    b = jnp.einsum("ni,ni->n", jw_row0, v1)
-    c = jnp.einsum("ni,ni->n", jw_row1, v1) + COV2D_DILATION
+    v0 = [sum(cov3[:, i, k] * jw0[k] for k in range(3)) for i in range(3)]  # V (JW row0)^T
+    v1 = [sum(cov3[:, i, k] * jw1[k] for k in range(3)) for i in range(3)]
+    a = sum(jw0[i] * v0[i] for i in range(3)) + COV2D_DILATION  # +0.3 px low-pass
+    b = sum(jw0[i] * v1[i] for i in range(3))
+    c = sum(jw1[i] * v1[i] for i in range(3)) + COV2D_DILATION
     cov2d = jnp.stack([a, b, c], axis=-1)
 
     # --- conic = inverse 2x2 (ref: shader/splat_geom.glsl:22-32)

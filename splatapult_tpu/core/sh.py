@@ -73,4 +73,7 @@ def eval_sh_radiance(sh, dirs, degree: int | None = None):
     if k_used > k_stored:
         raise ValueError(f"scene stores {k_stored} SH coeffs; degree {degree} needs {k_used}")
     basis = sh_basis(dirs, degree)  # [..., K]
-    return 0.5 + jnp.einsum("...ck,...k->...c", sh[..., :k_used], basis)
+    # explicit sum over the K<=16 axis: an einsum would lower the tiny
+    # contraction onto MXU-padded batched dots (slow + huge padded scratch)
+    acc = sum(sh[..., :, k] * basis[..., k : k + 1] for k in range(k_used))
+    return 0.5 + acc

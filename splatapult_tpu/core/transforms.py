@@ -79,10 +79,24 @@ def bake_covariance(quats, log_scales):
     The differentiable equivalent of the reference's import-time bake
     (ref: ComputeCovMatFromRotScale, src/gaussiancloud.cpp:86-94, with
     scale = exp(log_scale) per src/gaussiancloud.cpp:334-340).
+
+    Written as explicit component arithmetic on [...]-shaped vectors rather
+    than an einsum: XLA lowers batched 3x3 contractions onto the MXU with the
+    contraction padded to full tiles, which is both slow and allocates
+    enormous padded temporaries. Elementwise VPU code is the right shape.
     """
     R = quat_to_rotmat(quats)  # [..., 3, 3]
     s2 = jnp.exp(2.0 * log_scales)  # diag of S S^T
-    return jnp.einsum("...ik,...k,...jk->...ij", R, s2, R)
+    cols = []
+    for i in range(3):
+        row = []
+        for j in range(3):
+            acc = R[..., i, 0] * s2[..., 0] * R[..., j, 0]
+            acc = acc + R[..., i, 1] * s2[..., 1] * R[..., j, 1]
+            acc = acc + R[..., i, 2] * s2[..., 2] * R[..., j, 2]
+            row.append(acc)
+        cols.append(jnp.stack(row, axis=-1))
+    return jnp.stack(cols, axis=-2)
 
 
 def covariance_to_quat_scale(cov):
@@ -126,8 +140,16 @@ def invert_rigid(mat):
 
 
 def perspective(fovy: float, aspect: float, near: float, far: float):
-    """Symmetric GL projection from vertical FOV (radians). far <= near => infinite."""
-    tan_half = float(jnp.tan(fovy / 2.0))
+    """Symmetric GL projection from vertical FOV (radians). far <= near => infinite.
+
+    Uses host math for the scalar tangent: a device computation here would
+    force a device->host readback at camera-construction time (and on this
+    environment's TPU tunnel, any readback permanently degrades subsequent
+    dispatch latency).
+    """
+    import math
+
+    tan_half = math.tan(fovy / 2.0)
     return projection_from_tan_angles(
         -tan_half * aspect, tan_half * aspect, tan_half, -tan_half, near, far
     )

@@ -111,9 +111,16 @@ def bin_splats(mean2d, radius, grid: TileGrid):
     offs = jnp.cumsum(cnt) - cnt  # exclusive
     total = offs[-1] + cnt[-1] if n > 0 else jnp.int32(0)
 
-    # enumerate instance slots -> (splat, tile-within-rect)
+    # enumerate instance slots -> (splat, tile-within-rect). Instead of a
+    # binary search of emax queries into offs (XLA's searchsorted 'scan'
+    # method costs ~45ms for 400k queries on TPU), scatter each nonzero-count
+    # splat's index at its first instance slot and forward-fill with a cummax:
+    # O(emax) streaming work, ~100x faster.
     m = jnp.arange(emax, dtype=jnp.int32)
-    s = jnp.clip(jnp.searchsorted(offs, m, side="right") - 1, 0, max(n - 1, 0)).astype(jnp.int32)
+    marks = jnp.full((emax,), -1, jnp.int32).at[offs].max(
+        jnp.where(cnt > 0, jnp.arange(n, dtype=jnp.int32), -1), mode="drop"
+    )
+    s = jnp.clip(lax.cummax(marks, axis=0), 0, max(n - 1, 0)).astype(jnp.int32)
     j = m - offs[s]
     valid_m = m < total
     nx_s = jnp.maximum(nx[s], 1)
@@ -129,9 +136,15 @@ def bin_splats(mean2d, radius, grid: TileGrid):
     astart = jnp.cumsum(aligned) - aligned
     total_aligned = astart[-1] + aligned[-1] if num_tiles > 0 else jnp.int32(0)
 
-    # within-tile rank from position in the sorted array
-    first_idx = jnp.searchsorted(tile_sorted, tile_sorted, side="left")
-    within = jnp.arange(emax, dtype=jnp.int32) - first_idx.astype(jnp.int32)
+    # within-tile rank from position in the sorted array: the index of each
+    # run's first element, forward-filled (again cummax instead of a 50ms
+    # self-searchsorted)
+    pos = jnp.arange(emax, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), tile_sorted[1:] != tile_sorted[:-1]]
+    )
+    first_idx = lax.cummax(jnp.where(is_start, pos, 0), axis=0)
+    within = pos - first_idx
     valid_sorted = tile_sorted < num_tiles
     slot = jnp.where(
         valid_sorted,

@@ -1,0 +1,201 @@
+"""Multi-chip SPMD: tile/view sharding over a jax.sharding.Mesh.
+
+The reference is strictly single-process, single-GPU (SURVEY.md section 2.3);
+everything here is new design required by the BASELINE north star:
+
+- **Tile parallelism** (the data-parallel axis of this domain): the image's
+  tile *rows* are sharded across the ``tiles`` mesh axis. Each chip runs the
+  identical jitted pipeline on its horizontal band — projection and depth
+  sorting are computed replicated (cheap, O(N)), binning and compositing touch
+  only the chip's own band (the dominant cost, O(instances * pixels)).
+- **View parallelism**: camera batches shard over a ``views`` axis
+  (the scaled-up analog of the reference's stereo pair, src/app.cpp:603-607).
+- **Gradients**: parameter gradients are partial per shard; shard_map's
+  transpose inserts the cross-chip psum automatically (replicated-in /
+  sharded-out), and XLA schedules those collectives asynchronously against the
+  remaining backward compute over ICI.
+
+Everything works identically on a real pod slice and on the CPU host platform
+with ``--xla_force_host_platform_device_count=N`` (how tests and the driver's
+dry-run exercise it).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from splatapult_tpu.render import Camera, RenderConfig, prepare_splats
+
+
+def make_render_mesh(num_tile_shards: Optional[int] = None, num_view_shards: int = 1,
+                     devices=None) -> Mesh:
+    """Mesh with ('views', 'tiles') axes over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if num_tile_shards is None:
+        num_tile_shards = len(devices) // num_view_shards
+    n = num_view_shards * num_tile_shards
+    assert n <= len(devices), (n, len(devices))
+    import numpy as np
+
+    dev_array = np.asarray(devices[:n]).reshape(num_view_shards, num_tile_shards)
+    return Mesh(dev_array, ("views", "tiles"))
+
+
+def _padded_height(config: RenderConfig, num_shards: int) -> int:
+    """Image height padded so tile rows divide evenly across shards."""
+    band = config.tile_size * num_shards
+    return -(-config.height // band) * band
+
+
+def _shard_config(config: RenderConfig, num_shards: int) -> RenderConfig:
+    return dataclasses.replace(config, height=_padded_height(config, num_shards) // num_shards)
+
+
+def _composite_band(sorted_splats, shard_index, num_shards, config: RenderConfig):
+    """Composite this chip's horizontal band of the image.
+
+    The band becomes a standalone image of height H/num_shards by shifting the
+    splats' screen-space y so the band's bottom edge is y = 0; binning and the
+    Pallas kernels run unchanged.
+    """
+    from splatapult_tpu.ops.tiled import composite_tiled
+
+    cfg_band = _shard_config(config, num_shards)
+    h_pad = _padded_height(config, num_shards)
+    band_h = cfg_band.height
+    # band d covers image rows [d*band_h, (d+1)*band_h) from the top; in gl
+    # (+y up) coordinates its bottom edge sits at h_pad - (d+1)*band_h... but
+    # mean2d was produced against the *true* height, so shift relative to that.
+    y_bottom = config.height - (shard_index + 1) * band_h
+    shifted = dict(sorted_splats)
+    shifted["mean2d"] = sorted_splats["mean2d"] - jnp.stack(
+        [jnp.zeros_like(y_bottom, dtype=jnp.float32), y_bottom.astype(jnp.float32)]
+    )
+    return composite_tiled(shifted, cfg_band)  # [band_h, W, 4]
+
+
+def render_sharded(scene, camera: Camera, config: RenderConfig, mesh: Mesh) -> jax.Array:
+    """Single view, tiles sharded across the mesh's 'tiles' axis -> [H, W, 4].
+
+    Scene parameters and the camera are replicated; the output image is sharded
+    by rows. Crops away the shard-divisibility padding.
+    """
+    num_shards = mesh.shape["tiles"]
+
+    def shard_fn(scene, camera):
+        sorted_splats = prepare_splats(scene, camera, config)
+        d = lax.axis_index("tiles")
+        return _composite_band(sorted_splats, d, num_shards, config)
+
+    out = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P("tiles", None, None),
+        check_vma=False,
+    )(scene, camera)
+    return out[: config.height]
+
+
+def render_batch_sharded(scene, cameras: Camera, config: RenderConfig, mesh: Mesh) -> jax.Array:
+    """[V]-batched cameras -> [V, H, W, 4]; views over 'views', tiles over 'tiles'."""
+    num_shards = mesh.shape["tiles"]
+
+    def shard_fn(scene, cameras):
+        def one_view(cam):
+            sorted_splats = prepare_splats(scene, cam, config)
+            d = lax.axis_index("tiles")
+            return _composite_band(sorted_splats, d, num_shards, config)
+
+        return jax.vmap(one_view)(cameras)
+
+    out = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P("views")),
+        out_specs=P("views", "tiles", None, None),
+        check_vma=False,
+    )(scene, cameras)
+    return out[:, : config.height]
+
+
+def sharded_train_step(scene, cameras: Camera, targets, config: RenderConfig, mesh: Mesh,
+                       optimizer=None, opt_state=None):
+    """One SPMD optimization step: render camera batch, L2 loss vs targets,
+    grads to all splat parameters all-reduced across the mesh, optional optax
+    update. Returns (loss, grads_or_updated_scene, new_opt_state).
+
+    The psum of parameter grads is inserted by shard_map's transpose (the
+    cotangent of replicated inputs) and overlaps with backward compute under
+    XLA's async collective scheduling — the reference, being forward-only and
+    single-GPU, has no analog (SURVEY.md section 2.3).
+    """
+    num_shards = mesh.shape["tiles"]
+    band_h = _shard_config(config, num_shards).height
+
+    def shard_loss(scene, cameras, targets):
+        d = lax.axis_index("tiles")
+
+        def one_view(cam, tgt):
+            sorted_splats = prepare_splats(scene, cam, config)
+            band = _composite_band(sorted_splats, d, num_shards, config)
+            # crop the padded rows out of the loss on the last band
+            row0 = d * band_h
+            rows = row0 + jnp.arange(band_h)
+            valid = (rows < config.height)[:, None, None]
+            return jnp.sum(jnp.where(valid, (band - tgt) ** 2, 0.0))
+
+        # local (this shard's) sum only — the cross-shard psum happens AFTER
+        # differentiation; differentiating through lax.psum would scale the
+        # cotangents by the device count (psum's transpose is psum).
+        return jnp.sum(jax.vmap(one_view)(cameras, targets))
+
+    def loss_fn(scene, cameras, targets):
+        denom = targets.shape[0] * mesh.shape["views"] * config.height * config.width * 4
+        return shard_loss(scene, cameras, targets) / denom
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def shard_step(scene, cameras, targets):
+        loss, grads = grad_fn(scene, cameras, targets)
+        # Each shard holds the partial d(loss)/d(params) from its own tile band
+        # and view slice; the all-reduce completes them. XLA schedules these
+        # psums asynchronously against remaining backward compute, and the
+        # parameter pytree's separate leaves (means / SH / scales / ...) give
+        # it independent collectives to overlap (the north-star requirement).
+        loss = lax.psum(loss, ("views", "tiles"))
+        grads = jax.tree.map(lambda g: lax.psum(g, ("views", "tiles")), grads)
+        return loss, grads
+
+    loss, grads = jax.shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(P(), P("views"), P("views", "tiles", None, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(scene, cameras, targets)
+
+    if optimizer is None:
+        return loss, grads, None
+    updates, opt_state = optimizer.update(grads, opt_state, scene)
+    import optax
+
+    new_scene = optax.apply_updates(scene, updates)
+    return loss, new_scene, opt_state
+
+
+def shard_targets(targets, config: RenderConfig, mesh: Mesh):
+    """Pad [V, H, W, 4] target images to the sharded height and return them
+    (callers place them with P('views', 'tiles') sharding)."""
+    num_shards = mesh.shape["tiles"]
+    h_pad = _padded_height(config, num_shards)
+    pad = h_pad - targets.shape[1]
+    if pad:
+        targets = jnp.pad(targets, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    return targets

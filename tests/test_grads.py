@@ -25,6 +25,16 @@ def _small_scene():
     scene = make_debug_scene()
     # moderate opacity so gradients through sigmoid are informative
     scene.opacities = jnp.full_like(scene.opacities, 0.5)
+    # anisotropic scales + rotated quats: with the debug scene's isotropic
+    # covariance, quat gradients are *exactly* zero by symmetry (rotating an
+    # isotropic gaussian is a no-op), which would defeat the nonzero checks
+    rng = np.random.default_rng(11)
+    scene.log_scales = scene.log_scales + jnp.asarray(
+        rng.uniform(-0.5, 0.5, scene.log_scales.shape), jnp.float32
+    )
+    quats = rng.standard_normal(scene.quats.shape).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    scene.quats = jnp.asarray(quats)
     return scene
 
 

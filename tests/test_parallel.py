@@ -1,0 +1,132 @@
+"""Multi-device SPMD tests on the 8-device CPU mesh (SURVEY.md section 4 item 5;
+BASELINE configs 4-5 correctness side): sharded renders must equal single-device
+renders, and sharded grads must equal unsharded grads (psum correctness)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from splatapult_tpu.core import transforms as T
+from splatapult_tpu.io.gaussians import make_debug_scene
+from splatapult_tpu.parallel.mesh import (
+    make_render_mesh,
+    render_batch_sharded,
+    render_sharded,
+    shard_targets,
+    sharded_train_step,
+)
+from splatapult_tpu.render import Camera, RenderConfig, render, render_batch
+
+CFG = RenderConfig(
+    width=64, height=64, pipeline="tiled", tile_size=16, tile_block=8, max_instance_mult=20
+)
+
+
+def _camera(eye=(1.2, 1.1, 1.3), w=64, h=64):
+    c2w = T.look_at(eye=list(eye), target=[0.3, 0.3, 0.3], up=[0.0, 1.0, 0.0])
+    return Camera.from_fov(c2w, fovy=np.pi / 4, width=w, height=h)
+
+
+def _camera_batch(n, w=64, h=64):
+    cams = [_camera((1.2 + 0.1 * i, 1.0, 1.4 - 0.2 * i), w, h) for i in range(n)]
+    return Camera(
+        cam_to_world=jnp.stack([c.cam_to_world for c in cams]),
+        proj=jnp.stack([c.proj for c in cams]),
+    )
+
+
+def test_device_count():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual CPU devices"
+
+
+def test_render_sharded_matches_single():
+    scene = make_debug_scene()
+    cam = _camera()
+    want = np.asarray(render(scene, cam, CFG))
+    for n_shards in (1, 2, 4):
+        mesh = make_render_mesh(num_tile_shards=n_shards)
+        got = np.asarray(render_sharded(scene, cam, CFG, mesh))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-5, err_msg=f"shards={n_shards}")
+
+
+def test_render_sharded_nondivisible_height():
+    cfg = dataclasses.replace(CFG, width=64, height=48)  # 3 tile rows over 2 shards
+    scene = make_debug_scene()
+    cam = _camera(w=64, h=48)
+    want = np.asarray(render(scene, cam, cfg))
+    mesh = make_render_mesh(num_tile_shards=2)
+    got = np.asarray(render_sharded(scene, cam, cfg, mesh))
+    assert got.shape == (48, 64, 4)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_render_batch_sharded_views_and_tiles():
+    scene = make_debug_scene()
+    cams = _camera_batch(4)
+    want = np.asarray(render_batch(scene, cams, CFG))
+    mesh = make_render_mesh(num_tile_shards=2, num_view_shards=4)
+    got = np.asarray(render_batch_sharded(scene, cams, CFG, mesh))
+    assert got.shape == want.shape == (4, 64, 64, 4)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def _random_scene(rng, n=48):
+    # anisotropic random scene: the debug scene's identity quats + isotropic
+    # covariances make quat grads degenerate (~0), which breaks relative
+    # comparisons
+    from splatapult_tpu.io.gaussians import GaussianScene
+
+    quats = rng.standard_normal((n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    return GaussianScene(
+        means=jnp.asarray(rng.uniform(-0.8, 0.8, (n, 3)), jnp.float32),
+        sh=jnp.asarray(rng.standard_normal((n, 3, 1)) * 0.5, jnp.float32),
+        opacities=jnp.asarray(rng.uniform(-1, 2.5, (n,)), jnp.float32),
+        log_scales=jnp.asarray(rng.uniform(-3.5, -1.5, (n, 3)), jnp.float32),
+        quats=jnp.asarray(quats),
+    )
+
+
+def test_sharded_grads_match_unsharded():
+    rng = np.random.default_rng(5)
+    scene = _random_scene(rng)
+    cams = _camera_batch(2)
+    targets = jnp.asarray(rng.uniform(size=(2, 64, 64, 4)), jnp.float32)
+
+    # unsharded reference loss/grads
+    def loss(scene):
+        imgs = render_batch(scene, cams, CFG)
+        return jnp.mean((imgs - targets) ** 2)
+
+    want_loss, want_grads = jax.value_and_grad(loss)(scene)
+
+    mesh = make_render_mesh(num_tile_shards=4, num_view_shards=2)
+    tgt = shard_targets(targets, CFG, mesh)
+    got_loss, got_grads, _ = sharded_train_step(scene, cams, tgt, CFG, mesh)
+
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
+    for name in ("means", "sh", "opacities", "log_scales", "quats"):
+        a = np.asarray(getattr(got_grads, name))
+        b = np.asarray(getattr(want_grads, name))
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-5, err_msg=name)
+
+
+def test_sharded_train_step_with_optimizer():
+    import optax
+
+    scene = make_debug_scene()
+    cams = _camera_batch(2)
+    targets = jnp.zeros((2, 64, 64, 4), jnp.float32)
+    mesh = make_render_mesh(num_tile_shards=2, num_view_shards=2)
+    tgt = shard_targets(targets, CFG, mesh)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(scene)
+    loss0, scene1, opt_state = sharded_train_step(scene, cams, tgt, CFG, mesh, opt, opt_state)
+    loss1, _, _ = sharded_train_step(scene1, cams, tgt, CFG, mesh, opt, opt_state)
+    assert np.isfinite(float(loss0)) and np.isfinite(float(loss1))
+    # one adam step toward a black target must reduce the loss
+    assert float(loss1) < float(loss0)
