@@ -121,10 +121,13 @@ def bin_splats(mean2d, radius, grid: TileGrid):
         jnp.where(cnt > 0, jnp.arange(n, dtype=jnp.int32), -1), mode="drop"
     )
     s = jnp.clip(lax.cummax(marks, axis=0), 0, max(n - 1, 0)).astype(jnp.int32)
-    j = m - offs[s]
+    # one packed row-gather for all per-splat fields (four separate 1-D
+    # gathers cost ~4.5ms each on TPU; a single [emax, 4] row gather is <1ms)
+    table = jnp.stack([offs, x0, r0, jnp.maximum(nx, 1)], axis=1)  # [N, 4]
+    g = jnp.take(table, s, axis=0)  # [emax, 4]
+    j = m - g[:, 0]
     valid_m = m < total
-    nx_s = jnp.maximum(nx[s], 1)
-    tile = (r0[s] + j // nx_s) * tx_n + (x0[s] + j % nx_s)
+    tile = (g[:, 2] + j // g[:, 3]) * tx_n + (g[:, 1] + j % g[:, 3])
     tile = jnp.where(valid_m, tile, num_tiles)  # sentinel sorts to the end
 
     # stable sort by tile preserves global front-to-back depth order per tile
@@ -139,18 +142,17 @@ def bin_splats(mean2d, radius, grid: TileGrid):
     # within-tile rank from position in the sorted array: the index of each
     # run's first element, forward-filled (again cummax instead of a 50ms
     # self-searchsorted)
+    # slot = astart[tile] + within-tile-rank, computed without any per-instance
+    # gather: at each tile run's first sorted position (bounds[t]) scatter the
+    # constant (astart[t] - bounds[t]) and forward-fill — it is nondecreasing
+    # over tiles (cumulative alignment padding), so cummax fills runs exactly.
     pos = jnp.arange(emax, dtype=jnp.int32)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), tile_sorted[1:] != tile_sorted[:-1]]
+    shift_at_start = jnp.zeros((emax,), jnp.int32).at[bounds[:num_tiles]].max(
+        jnp.where(tile_count > 0, astart - bounds[:num_tiles], 0), mode="drop"
     )
-    first_idx = lax.cummax(jnp.where(is_start, pos, 0), axis=0)
-    within = pos - first_idx
+    slot_shift = lax.cummax(shift_at_start, axis=0)
     valid_sorted = tile_sorted < num_tiles
-    slot = jnp.where(
-        valid_sorted,
-        jnp.take(astart, jnp.clip(tile_sorted, 0, num_tiles - 1)) + within,
-        mcap,  # out of range -> dropped
-    )
+    slot = jnp.where(valid_sorted, pos + slot_shift, mcap)  # out of range -> dropped
     inst_splat = jnp.full((mcap,), n, jnp.int32).at[slot].set(splat_sorted, mode="drop")
 
     # flat block work-list
@@ -167,6 +169,7 @@ def bin_splats(mean2d, radius, grid: TileGrid):
     )
     block_tile = jnp.where(valid_b, tb, last_tile).astype(jnp.int32)
     block_first = (valid_b & (bb == jnp.take(boffs, tb))).astype(jnp.int32)
+    block_live = valid_b.astype(jnp.int32)  # kernels skip compute on padding blocks
 
     # a tile's output is defined iff its first block actually ran
     tile_ok = (tile_count > 0) & (boffs < total_blocks)
@@ -176,6 +179,7 @@ def bin_splats(mean2d, radius, grid: TileGrid):
         "inst_splat": inst_splat,
         "block_tile": block_tile,
         "block_first": block_first,
+        "block_live": block_live,
         "tile_ok": tile_ok,
         "tile_count": tile_count,
         "num_culled_instances": overflow.astype(jnp.int32),

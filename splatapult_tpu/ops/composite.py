@@ -52,32 +52,31 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _scan_rows_mul(x):
-    """Inclusive cumulative product along axis 0 (sublanes), power-of-two rows.
+def _tri(b, strict: bool):
+    """Lower-triangular ones [b, b] (strict excludes the diagonal)."""
+    r = lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    c = lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    return ((c < r) if strict else (c <= r)).astype(jnp.float32)
 
-    Hillis-Steele doubling with wrap-around rolls; wrapped lanes are masked to
-    the identity. log2(B) vector multiplies on the VPU.
+
+def _scan_rows_add(x, strict: bool = False):
+    """Cumulative sum along axis 0 as a triangular matmul.
+
+    A [B, B] x [B, P] matmul on the MXU is far cheaper than log2(B) sublane
+    roll+select passes on the VPU — prefix scans over the splat axis are the
+    bulk of the per-block arithmetic otherwise.
     """
-    b = x.shape[0]
-    row = lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    acc = x
-    k = 1
-    while k < b:
-        acc = acc * jnp.where(row >= k, pltpu.roll(acc, k, axis=0), 1.0)
-        k *= 2
-    return acc
+    return jnp.dot(_tri(x.shape[0], strict), x, preferred_element_type=jnp.float32)
 
 
-def _scan_rows_add(x):
-    """Inclusive cumulative sum along axis 0 (sublanes)."""
-    b = x.shape[0]
-    row = lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    acc = x
-    k = 1
-    while k < b:
-        acc = acc + jnp.where(row >= k, pltpu.roll(acc, k, axis=0), 0.0)
-        k *= 2
-    return acc
+def _excl_cumprod_rows(x, eps: float = 1e-37):
+    """Exclusive cumulative product along axis 0 via log-space matmul scan.
+
+    Values are transmittance factors in (0, 1]; log-space keeps long products
+    stable and turns the scan into one MXU matmul + exp.
+    """
+    logs = jnp.log(jnp.maximum(x, eps))
+    return jnp.exp(_scan_rows_add(logs, strict=True))
 
 
 def _pixel_coords(t, grid: TileGrid):
@@ -112,10 +111,11 @@ def _block_weights(feats, px, py, grid: TileGrid):
     return w, g, dx, dy
 
 
-def _fwd_kernel(grid: TileGrid, bt_ref, bf_ref, inst_ref, out_ref):
+def _fwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, out_ref):
     j = pl.program_id(0)
     t = bt_ref[j]
     first = bf_ref[j] == 1
+    live = bl_ref[j] == 1
     p = grid.tile_pixels
 
     @pl.when(first)
@@ -131,31 +131,35 @@ def _fwd_kernel(grid: TileGrid, bt_ref, bf_ref, inst_ref, out_ref):
         px, py = _pixel_coords(t, grid)
         w, _, _, _ = _block_weights(feats, px, py, grid)
         one_minus = 1.0 - w
-        incl = _scan_rows_mul(one_minus)
-        row = lax.broadcasted_iota(jnp.int32, w.shape, 0)
-        excl = jnp.where(row >= 1, pltpu.roll(incl, 1, axis=0), 1.0)
+        excl = _excl_cumprod_rows(one_minus)
         t_before = out_ref[0, 4:5, :] * excl
         eff = t_before * w  # [B, P]
-        b = grid.block
-        t_new = out_ref[0, 4:5, :] * incl[b - 1 : b, :]
-        for ch in range(3):
-            contrib = jnp.sum(eff * feats[:, F_R + ch : F_R + ch + 1], axis=0, keepdims=True)
-            out_ref[0, ch : ch + 1, :] = out_ref[0, ch : ch + 1, :] + contrib
+        block_prod = excl[grid.block - 1 : grid.block, :] * one_minus[grid.block - 1 : grid.block, :]
+        t_new = out_ref[0, 4:5, :] * block_prod
+        # color accumulation: one [3+1, B] x [B, P] matmul on the MXU instead
+        # of three separate sublane reductions
+        cmat = jnp.transpose(feats[:, F_R : F_R + 3])  # [3, B]
+        contrib = jnp.dot(cmat, eff, preferred_element_type=jnp.float32)  # [3, P]
+        out_ref[0, 0:3, :] = out_ref[0, 0:3, :] + contrib
         out_ref[0, 3:4, :] = 1.0 - t_new
         out_ref[0, 4:5, :] = t_new
 
+    # padding blocks past the last real tile carry only null instances — skip
+    # their compute entirely (the out buffer already holds the final state)
     if grid.early_stop_eps > 0.0:
-        # skip a block once the whole tile is (numerically) opaque — the analog
+        # also skip once the whole tile is (numerically) opaque — the analog
         # of the per-pixel early-out hardware blending gets for free
-        pl.when(first | (jnp.max(out_ref[0, 4:5, :]) >= grid.early_stop_eps))(body)
+        pl.when(live & (first | (jnp.max(out_ref[0, 4:5, :]) >= grid.early_stop_eps)))(body)
     else:
-        body()
+        pl.when(live)(body)
 
 
-def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, inst_ref, res_ref, dout_ref, dinst_ref, carry):
+def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, res_ref, dout_ref,
+                dinst_ref, carry):
     j = pl.program_id(0)
     t = bt_ref[j]
     first = bf_ref[j] == 1
+    live = bl_ref[j] == 1
     b = grid.block
 
     @pl.when(first)
@@ -168,12 +172,11 @@ def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, inst_ref, res_ref, dout_ref, din
         px, py = _pixel_coords(t, grid)
         w, g, dx, dy = _block_weights(feats, px, py, grid)
         one_minus = 1.0 - w
-        incl = _scan_rows_mul(one_minus)
-        row = lax.broadcasted_iota(jnp.int32, w.shape, 0)
-        excl = jnp.where(row >= 1, pltpu.roll(incl, 1, axis=0), 1.0)
+        excl = _excl_cumprod_rows(one_minus)
         t_run = carry[0:1, :]
         t_before = t_run * excl
         eff = t_before * w
+        block_prod = excl[b - 1 : b, :] * one_minus[b - 1 : b, :]
 
         t_fin = res_ref[0, 4:5, :]
         d_alpha_out = dout_ref[0, 3:4, :]
@@ -219,52 +222,53 @@ def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, inst_ref, res_ref, dout_ref, din
         )
 
         # advance carries past this block
-        carry[0:1, :] = t_run * incl[b - 1 : b, :]
+        carry[0:1, :] = t_run * block_prod
         for ch in range(3):
             carry[1 + ch : 2 + ch, :] = carry[1 + ch : 2 + ch, :] + block_contrib[ch]
 
     if grid.early_stop_eps > 0.0:
-        live = first | (jnp.max(carry[0:1, :]) >= grid.early_stop_eps)
-        pl.when(live)(body)
-
-        @pl.when(jnp.logical_not(live))
-        def _():
-            dinst_ref[:, :] = jnp.zeros((b, NUM_FEATS), jnp.float32)
+        run = live & (first | (jnp.max(carry[0:1, :]) >= grid.early_stop_eps))
     else:
-        body()
+        run = live
+    pl.when(run)(body)
+
+    @pl.when(jnp.logical_not(run))
+    def _():
+        # skipped blocks (padding or early-stopped) still own their d_inst slice
+        dinst_ref[:, :] = jnp.zeros((b, NUM_FEATS), jnp.float32)
 
 
-def _fwd_call(inst, block_tile, block_first, grid: TileGrid):
+def _fwd_call(inst, block_tile, block_first, block_live, grid: TileGrid):
     p = grid.tile_pixels
     kernel = functools.partial(_fwd_kernel, grid)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(grid.num_blocks,),
         in_specs=[
-            pl.BlockSpec((grid.block, NUM_FEATS), lambda j, bt, bf: (j, 0)),
+            pl.BlockSpec((grid.block, NUM_FEATS), lambda j, bt, bf, bl: (j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, OUT_ROWS, p), lambda j, bt, bf: (bt[j], 0, 0)),
+        out_specs=pl.BlockSpec((1, OUT_ROWS, p), lambda j, bt, bf, bl: (bt[j], 0, 0)),
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((grid.num_tiles, OUT_ROWS, p), jnp.float32),
         interpret=_interpret(),
-    )(block_tile, block_first, inst)
+    )(block_tile, block_first, block_live, inst)
 
 
-def _bwd_call(inst, block_tile, block_first, out_res, dout, grid: TileGrid):
+def _bwd_call(inst, block_tile, block_first, block_live, out_res, dout, grid: TileGrid):
     p = grid.tile_pixels
     kernel = functools.partial(_bwd_kernel, grid)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(grid.num_blocks,),
         in_specs=[
-            pl.BlockSpec((grid.block, NUM_FEATS), lambda j, bt, bf: (j, 0)),
-            pl.BlockSpec((1, OUT_ROWS, p), lambda j, bt, bf: (bt[j], 0, 0)),
-            pl.BlockSpec((1, OUT_ROWS, p), lambda j, bt, bf: (bt[j], 0, 0)),
+            pl.BlockSpec((grid.block, NUM_FEATS), lambda j, bt, bf, bl: (j, 0)),
+            pl.BlockSpec((1, OUT_ROWS, p), lambda j, bt, bf, bl: (bt[j], 0, 0)),
+            pl.BlockSpec((1, OUT_ROWS, p), lambda j, bt, bf, bl: (bt[j], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((grid.block, NUM_FEATS), lambda j, bt, bf: (j, 0)),
+        out_specs=pl.BlockSpec((grid.block, NUM_FEATS), lambda j, bt, bf, bl: (j, 0)),
         scratch_shapes=[pltpu.VMEM((4, p), jnp.float32)],
     )
     return pl.pallas_call(
@@ -272,28 +276,28 @@ def _bwd_call(inst, block_tile, block_first, out_res, dout, grid: TileGrid):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((grid.mcap, NUM_FEATS), jnp.float32),
         interpret=_interpret(),
-    )(block_tile, block_first, inst, out_res, dout)
+    )(block_tile, block_first, block_live, inst, out_res, dout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def composite_instances(inst, block_tile, block_first, grid: TileGrid):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def composite_instances(inst, block_tile, block_first, block_live, grid: TileGrid):
     """Tile-binned composite: instance features -> per-tile [T, 8, P] buffers.
 
     Differentiable in ``inst`` via the hand-written transmittance-replay
     backward kernel.
     """
-    return _fwd_call(inst, block_tile, block_first, grid)
+    return _fwd_call(inst, block_tile, block_first, block_live, grid)
 
 
-def _composite_fwd(inst, block_tile, block_first, grid):
-    out = _fwd_call(inst, block_tile, block_first, grid)
-    return out, (inst, block_tile, block_first, out)
+def _composite_fwd(inst, block_tile, block_first, block_live, grid):
+    out = _fwd_call(inst, block_tile, block_first, block_live, grid)
+    return out, (inst, block_tile, block_first, block_live, out)
 
 
 def _composite_bwd(grid, residuals, dout):
-    inst, block_tile, block_first, out = residuals
-    d_inst = _bwd_call(inst, block_tile, block_first, out, dout, grid)
-    return d_inst, None, None
+    inst, block_tile, block_first, block_live, out = residuals
+    d_inst = _bwd_call(inst, block_tile, block_first, block_live, out, dout, grid)
+    return d_inst, None, None, None
 
 
 composite_instances.defvjp(_composite_fwd, _composite_bwd)

@@ -57,7 +57,9 @@ def composite_tiled(sorted_splats, config, return_aux: bool = False):
     )
     inst = jnp.take(feats, bins["inst_splat"], axis=0)  # [Mcap, 16], diff'able gather
 
-    out = composite_instances(inst, bins["block_tile"], bins["block_first"], grid)
+    out = composite_instances(
+        inst, bins["block_tile"], bins["block_first"], bins["block_live"], grid
+    )
 
     # tiles never visited by the kernel hold garbage -> transparent background
     background = jnp.concatenate(
