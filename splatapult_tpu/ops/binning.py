@@ -130,8 +130,10 @@ def bin_splats(mean2d, radius, grid: TileGrid):
     tile = (g[:, 2] + j // g[:, 3]) * tx_n + (g[:, 1] + j % g[:, 3])
     tile = jnp.where(valid_m, tile, num_tiles)  # sentinel sorts to the end
 
-    # stable sort by tile preserves global front-to-back depth order per tile
-    tile_sorted, splat_sorted = lax.sort_key_val(tile, s, is_stable=True)
+    # stable sort by tile preserves global front-to-back depth order per tile;
+    # m rides along so the slot -> enumeration inverse map (needed by the
+    # gather transpose in the backward pass) falls out for free
+    tile_sorted, splat_sorted, m_sorted = lax.sort((tile, s, m), num_keys=1, is_stable=True)
 
     bounds = jnp.searchsorted(tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32))
     tile_count = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
@@ -154,6 +156,12 @@ def bin_splats(mean2d, radius, grid: TileGrid):
     valid_sorted = tile_sorted < num_tiles
     slot = jnp.where(valid_sorted, pos + slot_shift, mcap)  # out of range -> dropped
     inst_splat = jnp.full((mcap,), n, jnp.int32).at[slot].set(splat_sorted, mode="drop")
+    # enumeration index m -> aligned slot (mcap = dropped/invalid); the
+    # backward gather-transpose walks this to turn per-slot gradients into
+    # contiguous per-splat segments (see ops/composite.composite_from_feats)
+    slot_of_enum = jnp.full((emax,), mcap, jnp.int32).at[m_sorted].set(
+        jnp.minimum(slot, mcap), mode="drop"
+    )
 
     # flat block work-list
     bcount = aligned // b
@@ -177,6 +185,9 @@ def bin_splats(mean2d, radius, grid: TileGrid):
     overflow = jnp.maximum(total - emax, 0) + jnp.maximum(total_aligned - mcap, 0)
     return {
         "inst_splat": inst_splat,
+        "slot_of_enum": slot_of_enum,
+        "seg_offs": offs,
+        "seg_cnt": cnt,
         "block_tile": block_tile,
         "block_first": block_first,
         "block_live": block_live,

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from splatapult_tpu.ops.binning import TileGrid, bin_splats
-from splatapult_tpu.ops.composite import NUM_FEATS, composite_instances
+from splatapult_tpu.ops.composite import NUM_FEATS, composite_from_feats
 
 
 def _grid_from_config(config, num_splats: int) -> TileGrid:
@@ -55,11 +55,7 @@ def composite_tiled(sorted_splats, config, return_aux: bool = False):
     feats = pack_features(
         mean2d, sorted_splats["conic"], sorted_splats["rgb"], sorted_splats["alpha"]
     )
-    inst = jnp.take(feats, bins["inst_splat"], axis=0)  # [Mcap, 16], diff'able gather
-
-    out = composite_instances(
-        inst, bins["block_tile"], bins["block_first"], bins["block_live"], grid
-    )
+    out = composite_from_feats(feats, bins, grid)
 
     # tiles never visited by the kernel hold garbage -> transparent background
     background = jnp.concatenate(

@@ -125,16 +125,48 @@ def render_batch_sharded(scene, cameras: Camera, config: RenderConfig, mesh: Mes
     return out[:, : config.height]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def make_sharded_train_step(config: RenderConfig, mesh: Mesh, optimizer=None):
+    """Build (and cache) the jitted SPMD train step for (config, mesh, optimizer).
+
+    Rebuilding the shard_map per call would re-trace and re-compile the whole
+    SPMD program every step; training loops must reuse this compiled function.
+    """
+
+    def step_fn(scene, cameras, targets, opt_state):
+        loss, grads = _sharded_value_and_grad(scene, cameras, targets, config, mesh)
+        if optimizer is None:
+            return loss, grads, None
+        updates, opt_state = optimizer.update(grads, opt_state, scene)
+        import optax
+
+        new_scene = optax.apply_updates(scene, updates)
+        return loss, new_scene, opt_state
+
+    return jax.jit(step_fn)
+
+
 def sharded_train_step(scene, cameras: Camera, targets, config: RenderConfig, mesh: Mesh,
                        optimizer=None, opt_state=None):
     """One SPMD optimization step: render camera batch, L2 loss vs targets,
     grads to all splat parameters all-reduced across the mesh, optional optax
     update. Returns (loss, grads_or_updated_scene, new_opt_state).
 
-    The psum of parameter grads is inserted by shard_map's transpose (the
-    cotangent of replicated inputs) and overlaps with backward compute under
-    XLA's async collective scheduling — the reference, being forward-only and
-    single-GPU, has no analog (SURVEY.md section 2.3).
+    Compiled once per (config, mesh, optimizer) via make_sharded_train_step.
+    """
+    return make_sharded_train_step(config, mesh, optimizer)(scene, cameras, targets, opt_state)
+
+
+def _sharded_value_and_grad(scene, cameras: Camera, targets, config: RenderConfig, mesh: Mesh):
+    """(loss, grads) with tile/view sharding and explicit cross-chip psum.
+
+    The all-reduce of parameter grads happens AFTER per-shard differentiation
+    and overlaps with remaining backward compute under XLA's async collective
+    scheduling — the reference, being forward-only and single-GPU, has no
+    analog (SURVEY.md section 2.3).
     """
     num_shards = mesh.shape["tiles"]
     band_h = _shard_config(config, num_shards).height
@@ -173,21 +205,13 @@ def sharded_train_step(scene, cameras: Camera, targets, config: RenderConfig, me
         grads = jax.tree.map(lambda g: lax.psum(g, ("views", "tiles")), grads)
         return loss, grads
 
-    loss, grads = jax.shard_map(
+    return jax.shard_map(
         shard_step,
         mesh=mesh,
         in_specs=(P(), P("views"), P("views", "tiles", None, None)),
         out_specs=(P(), P()),
         check_vma=False,
     )(scene, cameras, targets)
-
-    if optimizer is None:
-        return loss, grads, None
-    updates, opt_state = optimizer.update(grads, opt_state, scene)
-    import optax
-
-    new_scene = optax.apply_updates(scene, updates)
-    return loss, new_scene, opt_state
 
 
 def shard_targets(targets, config: RenderConfig, mesh: Mesh):

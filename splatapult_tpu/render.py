@@ -94,6 +94,28 @@ class RenderConfig:
     early_stop_eps: float = 0.0  # skip blocks once max transmittance < eps (0 = exact)
 
 
+@jax.custom_vjp
+def _permute_rows(x, order, inv_order):
+    """Row permutation with a gather-based transpose.
+
+    jnp.take's default VJP is a scatter-add (it cannot know the indices form a
+    permutation), which costs hundreds of ms at millions of rows on TPU; the
+    true transpose of a permutation is just the inverse gather.
+    """
+    return jnp.take(x, order, axis=0)
+
+
+def _permute_rows_fwd(x, order, inv_order):
+    return jnp.take(x, order, axis=0), inv_order
+
+
+def _permute_rows_bwd(inv_order, g):
+    return jnp.take(g, inv_order, axis=0), None, None
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
 def prepare_splats(scene: GaussianScene, camera: Camera, config: RenderConfig):
     """Shared front end: bake + project + SH + depth sort (front-to-back).
 
@@ -123,17 +145,26 @@ def prepare_splats(scene: GaussianScene, camera: Camera, config: RenderConfig):
     n = key.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     _, _, order = jax.lax.sort((key, -idx, idx), num_keys=2)
+    inv_order = jnp.zeros((n,), jnp.int32).at[order].set(idx)
 
-    take = lambda x: jnp.take(x, order, axis=0)
     alpha_eff = jnp.where(proj.mask, alpha, 0.0)
+    # one packed row permutation for all differentiable per-splat features
+    # (a single [N, 9] gather + a gather-transpose VJP, instead of several
+    # independent takes whose VJPs would each scatter-add)
+    packed = jnp.concatenate(
+        [proj.mean2d, proj.conic, rgb, alpha_eff[:, None]], axis=1
+    )  # [N, 9]
+    packed_sorted = _permute_rows(packed, order, inv_order)
+
+    take_ng = lambda x: jnp.take(jax.lax.stop_gradient(x), order, axis=0)
     return {
-        "mean2d": take(proj.mean2d),
-        "conic": take(proj.conic),
-        "rgb": take(rgb),
-        "alpha": take(alpha_eff),
-        "depth": take(proj.depth),
-        "radius": take(proj.radius),
-        "mask": take(proj.mask),
+        "mean2d": packed_sorted[:, 0:2],
+        "conic": packed_sorted[:, 2:5],
+        "rgb": packed_sorted[:, 5:8],
+        "alpha": packed_sorted[:, 8],
+        "depth": take_ng(proj.depth),
+        "radius": take_ng(proj.radius),
+        "mask": take_ng(proj.mask),
     }
 
 

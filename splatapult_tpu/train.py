@@ -1,0 +1,96 @@
+"""Scene optimization: fit splat parameters to target images.
+
+The reference is a forward-only viewer; differentiability is the entire point
+of this re-architecture (BASELINE north star), and this module is the minimal
+production loop on top of it: render -> pixel loss -> grads to every splat
+parameter -> optax update, single- or multi-chip (parallel/mesh.py).
+
+This is deliberately a *library* (fit_scene + TrainState), not a full trainer
+binary: densification/pruning schedules of the INRIA trainer are out of scope
+for capability parity with the reference viewer, but the gradient machinery
+they need is all here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from splatapult_tpu.io.gaussians import GaussianScene
+from splatapult_tpu.render import Camera, RenderConfig, render
+
+
+def l2_image_loss(img, target):
+    return jnp.mean((img - target) ** 2)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "optimizer"))
+def train_step(scene: GaussianScene, opt_state, cameras: Camera, targets,
+               config: RenderConfig, optimizer):
+    """One jitted update over a [V]-batched camera/target set (single chip)."""
+
+    def loss_fn(scene):
+        def one(cam_mat, proj, tgt):
+            img = render(scene, Camera(cam_to_world=cam_mat, proj=proj), config)
+            return l2_image_loss(img, tgt)
+
+        return jnp.mean(jax.vmap(one)(cameras.cam_to_world, cameras.proj, targets))
+
+    loss, grads = jax.value_and_grad(loss_fn)(scene)
+    updates, opt_state = optimizer.update(grads, opt_state, scene)
+    scene = optax.apply_updates(scene, updates)
+    return scene, opt_state, loss
+
+
+def fit_scene(scene: GaussianScene, cameras: Camera, targets, config: RenderConfig,
+              steps: int = 100, learning_rate: float = 1e-2,
+              optimizer: Optional[optax.GradientTransformation] = None,
+              mesh=None, callback: Optional[Callable] = None):
+    """Optimize scene parameters against target images.
+
+    mesh: optional jax.sharding.Mesh -> uses the SPMD train step with tile/view
+    sharding and grad all-reduce (parallel/mesh.py) instead of the single-chip
+    path. Returns (scene, [losses]).
+    """
+    if optimizer is None:
+        # per-parameter learning-rate scaling in the spirit of the INRIA
+        # trainer: positions move slowly relative to appearance
+        optimizer = optax.multi_transform(
+            {
+                "means": optax.adam(learning_rate * 0.1),
+                "sh": optax.adam(learning_rate),
+                "opacities": optax.adam(learning_rate),
+                "log_scales": optax.adam(learning_rate * 0.5),
+                "quats": optax.adam(learning_rate * 0.1),
+            },
+            GaussianScene(
+                means="means", sh="sh", opacities="opacities",
+                log_scales="log_scales", quats="quats",
+            ),
+        )
+    opt_state = optimizer.init(scene)
+    losses = []
+    if mesh is not None:
+        from splatapult_tpu.parallel.mesh import shard_targets, sharded_train_step
+
+        targets = shard_targets(jnp.asarray(targets), config, mesh)
+        for step in range(steps):
+            loss, scene, opt_state = sharded_train_step(
+                scene, cameras, targets, config, mesh, optimizer, opt_state
+            )
+            losses.append(float(loss))
+            if callback:
+                callback(step, scene, losses[-1])
+        return scene, losses
+    targets = jnp.asarray(targets)
+    for step in range(steps):
+        scene, opt_state, loss = train_step(scene, opt_state, cameras, targets, config, optimizer)
+        losses.append(float(loss))
+        if callback:
+            callback(step, scene, losses[-1])
+    return scene, losses

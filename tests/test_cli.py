@@ -1,0 +1,94 @@
+"""CLI smoke tests: every subcommand drives the real pipeline end to end."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from splatapult_tpu.cli import main
+from splatapult_tpu.utils.image import load_png
+
+
+def test_cli_info(capsys, test_ply_path):
+    main(["info", test_ply_path])
+    out = capsys.readouterr().out
+    assert "splats:      16" in out
+    assert "sh degree:   3" in out
+    assert "test_vr.json" in out
+
+
+def test_cli_render(tmp_path, test_ply_path):
+    out = str(tmp_path / "render.png")
+    main([
+        "render", test_ply_path, "-o", out, "--width", "64", "--height", "48",
+        "--eye", "0", "0.5", "2.5", "--pipeline", "global", "--no-floor",
+    ])
+    img = load_png(out)
+    assert img.shape == (48, 64, 3)
+    assert img.max() > 0.05  # something visible
+
+
+def test_cli_render_vr_pose(tmp_path, test_ply_path):
+    # default camera + discovered test_vr.json floor transform
+    out = str(tmp_path / "vr.png")
+    main(["render", test_ply_path, "-o", out, "--width", "64", "--height", "48",
+          "--pipeline", "global"])
+    assert os.path.exists(out)
+
+
+def test_cli_render_nosh_fp16(tmp_path, test_ply_path):
+    out = str(tmp_path / "nosh.png")
+    main([
+        "render", test_ply_path, "-o", out, "--width", "32", "--height", "32",
+        "--eye", "0", "0.5", "2.5", "--nosh", "--fp16", "--pipeline", "global",
+        "--no-floor",
+    ])
+    assert os.path.exists(out)
+
+
+def test_cli_export_and_prune(tmp_path, test_ply_path):
+    out = str(tmp_path / "export.ply")
+    main(["export", test_ply_path, "-o", out, "--prune", "8"])
+    from splatapult_tpu.io.gaussians import load_gaussian_ply
+
+    scene = load_gaussian_ply(out)
+    assert scene.num_gaussians == 8
+
+
+def test_cli_path(tmp_path, test_ply_path):
+    # synthesize a scene dir with cameras.json next to a copy of the ply
+    import shutil
+
+    scene_dir = tmp_path / "scene"
+    scene_dir.mkdir()
+    ply = scene_dir / "model.ply"
+    shutil.copy(test_ply_path, ply)
+    cams = []
+    for i, a in enumerate((0.0, 0.7)):
+        cams.append({
+            "id": i, "width": 64, "height": 48,
+            "position": [2.0 * np.cos(a), 0.5, 2.0 * np.sin(a)],
+            "rotation": np.eye(3).tolist(),
+            "fx": 60.0, "fy": 60.0,
+        })
+    (scene_dir / "cameras.json").write_text(json.dumps(cams))
+    out = str(tmp_path / "frames.png")
+    main(["path", str(ply), "-o", out, "--width", "64", "--height", "48",
+          "--pipeline", "global", "--no-floor"])
+    stem = out[:-4]
+    assert os.path.exists(f"{stem}_0000.png")
+    assert os.path.exists(f"{stem}_0001.png")
+
+
+def test_cli_points(tmp_path):
+    from splatapult_tpu.io.points import make_debug_points, save_point_ply
+
+    ply = str(tmp_path / "input.ply")
+    save_point_ply(ply, make_debug_points())
+    out = str(tmp_path / "points.png")
+    main(["points", ply, "-o", out, "--width", "48", "--height", "48",
+          "--eye", "1", "1", "1", "--target", "0.3", "0.3", "0.3",
+          "--pipeline", "global"])
+    img = load_png(out)
+    assert img.max() > 0.05
