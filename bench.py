@@ -53,6 +53,11 @@ def main():
     parser.add_argument("--instance-mult", type=int, default=4)
     parser.add_argument("--tile-size", type=int, default=32)
     parser.add_argument("--tile-block", type=int, default=128)
+    parser.add_argument(
+        "--early-stop", type=float, default=1e-4,
+        help="skip blocks once a tile's max transmittance falls below this "
+             "(0 = exact; 1e-4 is the standard 3DGS termination threshold)",
+    )
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -71,6 +76,7 @@ def main():
         width=args.width, height=args.height, pipeline="tiled",
         tile_size=args.tile_size, tile_block=args.tile_block,
         max_instance_mult=args.instance_mult,
+        early_stop_eps=args.early_stop,
     )
 
     # Timing methodology: this environment's TPU tunnel makes
