@@ -42,7 +42,20 @@ def make_scene(num_splats: int, seed: int = 0):
     )
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: the 1M-splat fwd+bwd program takes several
+    minutes to compile; cache it across processes."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/splatapult_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def main():
+    _enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--splats", type=int, default=1_000_000)
     parser.add_argument("--width", type=int, default=1920)

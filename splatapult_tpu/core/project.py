@@ -40,6 +40,7 @@ class ProjectedSplats(NamedTuple):
     depth: jnp.ndarray  # [N] positive view depth (= clip w = -z_view)
     mask: jnp.ndarray  # [N] bool, True = survives culling
     radius: jnp.ndarray  # [N] EXTENT_SIGMA * sqrt(major eigenvalue), px (0 if culled)
+    extent: jnp.ndarray  # [N, 2] tight AABB half-extents (rx, ry), px (0 if culled)
 
 
 def project_gaussians(
@@ -137,8 +138,17 @@ def project_gaussians(
     radius = EXTENT_SIGMA * jnp.sqrt(jnp.maximum(lambda_max, 0.0))
     radius = jnp.where(mask, radius, 0.0)
 
+    # Tight axis-aligned half-extents: the k-sigma ellipse spans exactly
+    # +- k*sqrt(Sigma_xx) in x (and ..._yy in y), which is never larger than
+    # the lambda_max square — fewer tile instances for anisotropic splats at
+    # identical coverage (the 3.33-sigma discard radius stays inside 3.5).
+    rx = EXTENT_SIGMA * jnp.sqrt(jnp.maximum(a, 0.0))
+    ry = EXTENT_SIGMA * jnp.sqrt(jnp.maximum(c, 0.0))
+    extent = jnp.where(mask[:, None], jnp.stack([rx, ry], axis=-1), 0.0)
+
     return ProjectedSplats(
-        mean2d=mean2d, cov2d=cov2d, conic=conic, depth=depth, mask=mask, radius=radius
+        mean2d=mean2d, cov2d=cov2d, conic=conic, depth=depth, mask=mask,
+        radius=radius, extent=extent,
     )
 
 

@@ -29,7 +29,7 @@ def render_stats(scene, camera, config):
     grid = _grid_from_config(config, scene.means.shape[0])
     bins = bin_splats(
         jax.lax.stop_gradient(sorted_splats["mean2d"]),
-        jax.lax.stop_gradient(sorted_splats["radius"]),
+        jax.lax.stop_gradient(sorted_splats["extent"]),
         grid,
     )
     tile_count = np.asarray(bins["tile_count"])

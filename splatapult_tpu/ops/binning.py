@@ -77,12 +77,13 @@ class TileGrid:
         )
 
 
-def bin_splats(mean2d, radius, grid: TileGrid):
+def bin_splats(mean2d, extent, grid: TileGrid):
     """Build the (tile, depth)-ordered instance buffer and flat block work-list.
 
     Args (all non-differentiable index plumbing; callers stop_gradient):
       mean2d [N, 2] screen centers (gl convention, +y up), front-to-back order
-      radius [N] screen extent in px (0 = culled)
+      extent [N, 2] tight AABB half-extents (rx, ry) in px, or [N] isotropic
+        radius (both 0 = culled)
 
     Returns dict:
       inst_splat [mcap] int32 — splat index per instance slot (N = null)
@@ -98,12 +99,17 @@ def bin_splats(mean2d, radius, grid: TileGrid):
     h = grid.height
 
     mx, my = mean2d[:, 0], mean2d[:, 1]
-    valid = radius > 0.0
-    x0 = jnp.clip(jnp.floor((mx - radius) / ts), 0, tx_n).astype(jnp.int32)
-    x1 = jnp.clip(jnp.ceil((mx + radius) / ts), 0, tx_n).astype(jnp.int32)
+    extent = jnp.asarray(extent)
+    if extent.ndim == 1:
+        rx = ry = extent
+    else:
+        rx, ry = extent[:, 0], extent[:, 1]
+    valid = (rx > 0.0) & (ry > 0.0)
+    x0 = jnp.clip(jnp.floor((mx - rx) / ts), 0, tx_n).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil((mx + rx) / ts), 0, tx_n).astype(jnp.int32)
     # gl y-up -> image rows: row = height - y
-    r0 = jnp.clip(jnp.floor((h - my - radius) / ts), 0, ty_n).astype(jnp.int32)
-    r1 = jnp.clip(jnp.ceil((h - my + radius) / ts), 0, ty_n).astype(jnp.int32)
+    r0 = jnp.clip(jnp.floor((h - my - ry) / ts), 0, ty_n).astype(jnp.int32)
+    r1 = jnp.clip(jnp.ceil((h - my + ry) / ts), 0, ty_n).astype(jnp.int32)
     nx = jnp.maximum(x1 - x0, 0)
     ny = jnp.maximum(r1 - r0, 0)
     cnt = jnp.where(valid, nx * ny, 0).astype(jnp.int32)

@@ -183,20 +183,24 @@ def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, res_ref, dout_
         d_tfin_out = dout_ref[0, 4:5, :]
         inv_om = 1.0 / jnp.maximum(one_minus, 1e-9)
 
-        # dL/dw accumulated over color channels + alpha/transmittance rows
+        # dL/dw accumulated over color channels + alpha/transmittance rows.
+        # The three per-channel prefix scans collapse into ONE: with the
+        # per-pixel cotangent dC_c constant along the splat axis,
+        #   sum_c dC_c * S_after_c
+        #     = sum_c dC_c (C_fin_c - C_sofar_c) - cumsum(eff * sum_c dC_c c_c),
+        # so only the dC-weighted color dot needs scanning.
         dw = (d_alpha_out - d_tfin_out) * (t_fin * inv_om)
+        cdot = jnp.zeros_like(eff)
+        sdot_fin = jnp.zeros_like(t_fin)
         dcols = []
-        block_contrib = []
         for ch in range(3):
             ccol = feats[:, F_R + ch : F_R + ch + 1]
-            contrib = eff * ccol
-            incl_contrib = _scan_rows_add(contrib)
-            c_upto = carry[1 + ch : 2 + ch, :] + incl_contrib
-            s_after = res_ref[0, ch : ch + 1, :] - c_upto
             d_c = dout_ref[0, ch : ch + 1, :]
-            dw = dw + d_c * (t_before * ccol - s_after * inv_om)
+            cdot = cdot + ccol * d_c
+            sdot_fin = sdot_fin + d_c * (res_ref[0, ch : ch + 1, :] - carry[1 + ch : 2 + ch, :])
             dcols.append(jnp.sum(eff * d_c, axis=1, keepdims=True))  # [B, 1]
-            block_contrib.append(incl_contrib[b - 1 : b, :])
+        incl_dot = _scan_rows_add(eff * cdot)
+        dw = dw + t_before * cdot - (sdot_fin - incl_dot) * inv_om
         if grid.alpha_cutoff > 0.0:
             # subgradient of the discard: contributions below the cutoff are
             # identically zero in the forward, so their w-gradient is zero too.
@@ -221,10 +225,14 @@ def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, res_ref, dout_
             axis=1,
         )
 
-        # advance carries past this block
+        # advance carries past this block (block totals are plain reductions,
+        # not scans)
         carry[0:1, :] = t_run * block_prod
         for ch in range(3):
-            carry[1 + ch : 2 + ch, :] = carry[1 + ch : 2 + ch, :] + block_contrib[ch]
+            ccol = feats[:, F_R + ch : F_R + ch + 1]
+            carry[1 + ch : 2 + ch, :] = carry[1 + ch : 2 + ch, :] + jnp.sum(
+                eff * ccol, axis=0, keepdims=True
+            )
 
     if grid.early_stop_eps > 0.0:
         run = live & (first | (jnp.max(carry[0:1, :]) >= grid.early_stop_eps))

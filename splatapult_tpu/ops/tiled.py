@@ -48,7 +48,7 @@ def composite_tiled(sorted_splats, config, return_aux: bool = False):
 
     bins = bin_splats(
         jax.lax.stop_gradient(mean2d),
-        jax.lax.stop_gradient(sorted_splats["radius"]),
+        jax.lax.stop_gradient(sorted_splats["extent"]),
         grid,
     )
 

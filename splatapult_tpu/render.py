@@ -72,6 +72,19 @@ class Camera:
     def eye(self) -> jax.Array:
         return self.cam_to_world[..., :3, 3]
 
+    def stereo_pair(self, ipd: float = 0.064) -> "Camera":
+        """[2]-batched left/right eye cameras offset along +X by the
+        interpupillary distance — the batched analog of the reference's
+        OpenXR stereo views (ref: src/xrbuddy.cpp:1689-1800); render with
+        render_batch, which shares the per-splat work across eyes the way the
+        reference shares its sort (ref: src/app.cpp:603-607)."""
+        offsets = jnp.asarray([-ipd / 2.0, ipd / 2.0], jnp.float32)
+        right_axis = self.cam_to_world[:3, 0]
+        mats = jnp.stack([
+            self.cam_to_world.at[:3, 3].add(o * right_axis) for o in offsets
+        ])
+        return Camera(cam_to_world=mats, proj=jnp.stack([self.proj, self.proj]))
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
@@ -164,6 +177,7 @@ def prepare_splats(scene: GaussianScene, camera: Camera, config: RenderConfig):
         "alpha": packed_sorted[:, 8],
         "depth": take_ng(proj.depth),
         "radius": take_ng(proj.radius),
+        "extent": take_ng(proj.extent),
         "mask": take_ng(proj.mask),
     }
 
