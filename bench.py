@@ -60,8 +60,8 @@ def main():
     parser.add_argument("--splats", type=int, default=1_000_000)
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--height", type=int, default=1080)
-    parser.add_argument("--iters", type=int, default=10)
-    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument("--warmup", type=int, default=1)
     parser.add_argument("--fwd-only", action="store_true")
     parser.add_argument("--instance-mult", type=int, default=4)
     parser.add_argument("--tile-size", type=int, default=32)
@@ -127,27 +127,27 @@ def main():
 
     from splatapult_tpu.io.gaussians import GaussianScene
 
+    # dynamic trip count -> ONE compiled program serves both the 1-step and
+    # K-step measurements (the full fwd+bwd program takes minutes to compile)
     def k_steps(s, c, k_iters):
         def body(_, eps):
             return one_step(s, c, eps)
 
         return jax.lax.fori_loop(0, k_iters, body, jnp.float32(0.0))
 
-    run1 = jax.jit(lambda s, c: k_steps(s, c, 1))
-    runk = jax.jit(lambda s, c: k_steps(s, c, k))
+    runner = jax.jit(k_steps)
 
     t0 = time.time()
-    float(run1(scene, cam))  # compile + first readback (switches to sync mode)
+    float(runner(scene, cam, jnp.int32(1)))  # compile + readback (sync mode on)
     compile_s = time.time() - t0
     for _ in range(max(args.warmup, 1)):
         t_single = time.perf_counter()
-        float(run1(scene, cam))
+        float(runner(scene, cam, jnp.int32(1)))
         t_single = time.perf_counter() - t_single
-    float(runk(scene, cam))  # compile the K-loop
     trials = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
-        float(runk(scene, cam))
+        float(runner(scene, cam, jnp.int32(k)))
         trials.append(time.perf_counter() - t0)
     t_k = min(trials)
     # subtract the protocol round trip (measured as the K=1 total minus its

@@ -55,7 +55,7 @@ def _add_common(p):
     p.add_argument("-d", "--debug", action="store_true", help="verbose logging (ref -d)")
 
 
-def _config(args, n_splats):
+def _config(args):
     from splatapult_tpu.render import RenderConfig
 
     return RenderConfig(
@@ -87,7 +87,6 @@ def _load_scene_and_assets(args):
 
 def _make_camera(args, cameras, floor):
     from splatapult_tpu.core import transforms as T
-    from splatapult_tpu.io.configs import estimate_floor_plane
     from splatapult_tpu.render import Camera
 
     if args.camera_index is not None:
@@ -132,7 +131,7 @@ def cmd_render(args):
 
     scene, cameras, floor, _ = _load_scene_and_assets(args)
     cam = _make_camera(args, cameras, floor)
-    cfg = _config(args, scene.num_gaussians)
+    cfg = _config(args)
     t0 = time.time()
     img = np.asarray(render(scene, cam, cfg))
     log.info("rendered %dx%d in %.2fs (incl. compile)", args.width, args.height, time.time() - t0)
@@ -151,7 +150,7 @@ def cmd_path(args):
     if not cameras:
         sys.exit("path rendering needs a discoverable cameras.json")
     cameras = cameras[:: args.every]
-    cfg = _config(args, scene.num_gaussians)
+    cfg = _config(args)
     mats, projs = [], []
     from splatapult_tpu.render import Camera as Cam
 
@@ -186,9 +185,8 @@ def cmd_points(args):
 
     pts = load_point_ply(args.ply, use_linear_colors=args.srgb)
     scene = points_as_gaussians(pts, world_radius=args.point_size)
-    args_ns = args
-    cam = _make_camera(args_ns, [], None)
-    cfg = _config(args, scene.num_gaussians)
+    cam = _make_camera(args, [], None)
+    cfg = _config(args)
     img = np.asarray(render(scene, cam, cfg))
     save_png(args.output, img, srgb_encode=args.srgb)
     print(f"wrote {args.output} ({pts.num_points} points)")

@@ -10,10 +10,10 @@ everything here is new design required by the BASELINE north star:
   only the chip's own band (the dominant cost, O(instances * pixels)).
 - **View parallelism**: camera batches shard over a ``views`` axis
   (the scaled-up analog of the reference's stereo pair, src/app.cpp:603-607).
-- **Gradients**: parameter gradients are partial per shard; shard_map's
-  transpose inserts the cross-chip psum automatically (replicated-in /
-  sharded-out), and XLA schedules those collectives asynchronously against the
-  remaining backward compute over ICI.
+- **Gradients**: parameter gradients are partial per shard and completed by an
+  explicit psum AFTER per-shard differentiation (_sharded_value_and_grad); XLA
+  schedules those collectives asynchronously against the remaining backward
+  compute over ICI.
 
 Everything works identically on a real pod slice and on the CPU host platform
 with ``--xla_force_host_platform_device_count=N`` (how tests and the driver's
@@ -23,6 +23,7 @@ dry-run exercise it).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -123,9 +124,6 @@ def render_batch_sharded(scene, cameras: Camera, config: RenderConfig, mesh: Mes
         check_vma=False,
     )(scene, cameras)
     return out[:, : config.height]
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=32)

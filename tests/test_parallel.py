@@ -112,8 +112,9 @@ def test_sharded_grads_match_unsharded():
         a = np.asarray(getattr(got_grads, name))
         b = np.asarray(getattr(want_grads, name))
         scale = np.abs(b).max() + 1e-8
-        # psum changes the summation order vs single-device accumulation
-        np.testing.assert_allclose(a / scale, b / scale, atol=5e-5, err_msg=name)
+        # psum + fusion-dependent rounding change the summation order vs
+        # single-device accumulation
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4, err_msg=name)
 
 
 def test_sharded_train_step_with_optimizer():
