@@ -9,17 +9,30 @@ the full 32-bit radix sort of every visible splat (ref: src/splatrenderer.cpp:
    render.prepare_splats). Binning only has to group duplicates by tile while
    *preserving* that order, so a single stable sort by tile id suffices — the
    depth bits of the reference's radix key are unnecessary.
-2. Dynamic instance counts are handled with the searchsorted-enumeration trick:
-   a static-size instance buffer of capacity EMAX is mapped back to (splat,
-   tile-within-rect) pairs by binary search over the exclusive-cumsum offsets.
-   No atomics, no data-dependent shapes, no host readback (the reference stalls
-   the pipe every frame reading its counter, src/splatrenderer.cpp:196-204).
-3. Each tile's instance list is padded to a multiple of the compositing block
-   size B with *null instances* (splat index N -> an all-zero feature row).
-   Every B-block therefore belongs to exactly one tile, which removes all
-   masking from the composite kernels and gives the backward kernel exclusive
-   ownership of its output block. Overflow beyond capacity is counted and
-   reported, never silently ignored.
+2. Dynamic instance counts are handled with a static-size instance buffer:
+   enumeration slots map back to (splat, tile-within-rect) pairs via a
+   scatter-at-segment-starts + cummax forward fill. No atomics, no
+   data-dependent shapes, no host readback (the reference stalls the pipe
+   every frame reading its counter, src/splatrenderer.cpp:196-204).
+3. Block alignment happens *inside the sort*: exact per-tile padding entries
+   (computed from a sort-based 2D rectangle histogram — the classic
+   corner-delta/2D-cumsum trick) are appended before the tile sort, so every
+   tile's segment in the sorted order starts at a multiple of the compositing
+   block size B and is filled to a multiple of B with *null instances*
+   (splat index N -> an all-zero feature row). The sorted order IS the
+   instance buffer: no scatter ever materializes it, and block metadata
+   (owning tile, first-of-tile) falls out of strided slices.
+
+Why this shape: on TPU, XLA scatters and gathers cost ~6-8 ns per *index*
+(independent of row width) while sorts move data at ~0.6-2 ns/element — an
+order of magnitude cheaper. The pipeline therefore uses exactly one scatter
+(the segment-start marks, with unique indices) and two row gathers (the
+per-instance rect table and the feature rows), and pushes every other
+reordering into `lax.sort` (see tools/microbench2.py for the measurements).
+
+Overflow: if the enumeration capacity ``emax`` is exceeded, whole farthest
+splats are dropped (their counts zeroed before enumeration) so the sorted
+structure stays exact; the dropped instance count is reported, never silent.
 """
 
 from __future__ import annotations
@@ -77,6 +90,32 @@ class TileGrid:
         )
 
 
+def _rect_histogram(x0, x1, r0, r1, valid, grid: TileGrid):
+    """Exact per-tile overlap counts without enumerating instances.
+
+    Corner-delta trick: each clipped rect [r0, r1) x [x0, x1) contributes
+    +1 at (r0, x0), +1 at (r1, x1), -1 at (r0, x1), -1 at (r1, x0) on a
+    (ty+1, tx+1) delta grid; a 2D inclusive cumsum recovers the counts.
+    The delta accumulation itself is sort-based (bincount-by-sort): XLA
+    scatter-add with colliding indices is far slower than a sort.
+    """
+    txp, typ = grid.tiles_x + 1, grid.tiles_y + 1
+    nbins = txp * typ
+    sent = jnp.int32(nbins)  # out-of-range sentinel for invalid splats
+
+    def ids(r, x):
+        return jnp.where(valid, r * txp + x, sent)
+
+    pos_ids = jnp.concatenate([ids(r0, x0), ids(r1, x1)])
+    neg_ids = jnp.concatenate([ids(r0, x1), ids(r1, x0)])
+    edges = jnp.arange(nbins + 1, dtype=jnp.int32)
+    pos_b = jnp.searchsorted(jnp.sort(pos_ids), edges)
+    neg_b = jnp.searchsorted(jnp.sort(neg_ids), edges)
+    delta = ((pos_b[1:] - pos_b[:-1]) - (neg_b[1:] - neg_b[:-1])).reshape(typ, txp)
+    counts = jnp.cumsum(jnp.cumsum(delta, axis=0), axis=1)
+    return counts[: grid.tiles_y, : grid.tiles_x].reshape(-1)  # [T]
+
+
 def bin_splats(mean2d, extent, grid: TileGrid):
     """Build the (tile, depth)-ordered instance buffer and flat block work-list.
 
@@ -86,17 +125,23 @@ def bin_splats(mean2d, extent, grid: TileGrid):
         radius (both 0 = culled)
 
     Returns dict:
-      inst_splat [mcap] int32 — splat index per instance slot (N = null)
+      inst_splat [mcap] int32 — splat index per aligned instance slot (N = null)
+      m_pos [mcap] int32 — enumeration id per slot (emax = null/pad sentinel)
+      seg_offs/seg_cnt [N] — per-splat enumeration segments (for the backward
+        gather transpose in ops/composite.py)
       block_tile [NB] int32 — owning tile of each B-block
       block_first [NB] int32 — 1 iff block is the first of its tile
-      tile_ok [T] bool — tile was visited by the kernel (has >= 1 block that ran)
+      block_live [NB] int32 — 0 for blocks past the last real tile (skipped)
+      tile_ok [T] bool — tile has at least one instance
       tile_count [T] int32 — true instance count per tile
       num_culled_instances [] int32 — instances dropped by capacity overflow
     """
     n = mean2d.shape[0]
     ts, tx_n, ty_n = grid.tile_size, grid.tiles_x, grid.tiles_y
-    num_tiles, b, emax, mcap, nb = grid.num_tiles, grid.block, grid.emax, grid.mcap, grid.num_blocks
+    num_tiles, b, emax, mcap = grid.num_tiles, grid.block, grid.emax, grid.mcap
     h = grid.height
+    pad_cap = num_tiles * b
+    assert mcap == emax + pad_cap, (mcap, emax, pad_cap)
 
     mx, my = mean2d[:, 0], mean2d[:, 1]
     extent = jnp.asarray(extent)
@@ -112,86 +157,84 @@ def bin_splats(mean2d, extent, grid: TileGrid):
     r1 = jnp.clip(jnp.ceil((h - my + ry) / ts), 0, ty_n).astype(jnp.int32)
     nx = jnp.maximum(x1 - x0, 0)
     ny = jnp.maximum(r1 - r0, 0)
-    cnt = jnp.where(valid, nx * ny, 0).astype(jnp.int32)
+    cnt_raw = jnp.where(valid, nx * ny, 0).astype(jnp.int32)
 
+    # overflow: drop whole splats from the back (they are farthest — the
+    # least visible) so every kept splat's rect stays complete and the
+    # histogram/padding stay exact
+    offs_raw = jnp.cumsum(cnt_raw) - cnt_raw
+    keep = offs_raw + cnt_raw <= emax
+    cnt = jnp.where(keep, cnt_raw, 0)
     offs = jnp.cumsum(cnt) - cnt  # exclusive
     total = offs[-1] + cnt[-1] if n > 0 else jnp.int32(0)
+    overflow = (cnt_raw.sum() - total).astype(jnp.int32)
+    kept = keep & (cnt > 0)
 
-    # enumerate instance slots -> (splat, tile-within-rect). Instead of a
-    # binary search of emax queries into offs (XLA's searchsorted 'scan'
-    # method costs ~45ms for 400k queries on TPU), scatter each nonzero-count
-    # splat's index at its first instance slot and forward-fill with a cummax:
-    # O(emax) streaming work, ~100x faster.
+    # exact per-tile counts (truncation-aware) -> exact alignment padding
+    tile_count = _rect_histogram(
+        x0, x1, r0, r1, kept, grid
+    )
+    pad_t = (-tile_count) % b  # in [0, b)
+
+    # ---- enumeration slots -> (splat, tile-within-rect) ----
+    # scatter each kept splat's index at its first slot (unique, mostly-sorted
+    # indices -> XLA's fast scatter path) and forward-fill with a cummax
     m = jnp.arange(emax, dtype=jnp.int32)
-    marks = jnp.full((emax,), -1, jnp.int32).at[offs].max(
-        jnp.where(cnt > 0, jnp.arange(n, dtype=jnp.int32), -1), mode="drop"
+    first_slot = jnp.where(kept, offs, emax)  # emax = dropped
+    marks = jnp.full((emax,), -1, jnp.int32).at[first_slot].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True
     )
     s = jnp.clip(lax.cummax(marks, axis=0), 0, max(n - 1, 0)).astype(jnp.int32)
-    # one packed row-gather for all per-splat fields (four separate 1-D
-    # gathers cost ~4.5ms each on TPU; a single [emax, 4] row gather is <1ms)
+    # one packed row-gather for all per-splat fields (gather cost is per index,
+    # not per byte: one [emax, 4] row gather ~= one 1-D gather)
     table = jnp.stack([offs, x0, r0, jnp.maximum(nx, 1)], axis=1)  # [N, 4]
     g = jnp.take(table, s, axis=0)  # [emax, 4]
     j = m - g[:, 0]
     valid_m = m < total
     tile = (g[:, 2] + j // g[:, 3]) * tx_n + (g[:, 1] + j % g[:, 3])
     tile = jnp.where(valid_m, tile, num_tiles)  # sentinel sorts to the end
+    s = jnp.where(valid_m, s, n)
 
-    # stable sort by tile preserves global front-to-back depth order per tile;
-    # m rides along so the slot -> enumeration inverse map (needed by the
-    # gather transpose in the backward pass) falls out for free
-    tile_sorted, splat_sorted, m_sorted = lax.sort((tile, s, m), num_keys=1, is_stable=True)
+    # ---- alignment padding entries, exact per tile ----
+    # [T, b] candidates; column < pad_t are real pads of that tile
+    pad_col = lax.broadcasted_iota(jnp.int32, (num_tiles, b), 1)
+    pad_tile_grid = lax.broadcasted_iota(jnp.int32, (num_tiles, b), 0)
+    pad_tile = jnp.where(pad_col < pad_t[:, None], pad_tile_grid, num_tiles).reshape(-1)
 
-    bounds = jnp.searchsorted(tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32))
-    tile_count = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
-    aligned = ((tile_count + b - 1) // b) * b
-    astart = jnp.cumsum(aligned) - aligned
-    total_aligned = astart[-1] + aligned[-1] if num_tiles > 0 else jnp.int32(0)
-
-    # within-tile rank from position in the sorted array: the index of each
-    # run's first element, forward-filled (again cummax instead of a 50ms
-    # self-searchsorted)
-    # slot = astart[tile] + within-tile-rank, computed without any per-instance
-    # gather: at each tile run's first sorted position (bounds[t]) scatter the
-    # constant (astart[t] - bounds[t]) and forward-fill — it is nondecreasing
-    # over tiles (cumulative alignment padding), so cummax fills runs exactly.
-    pos = jnp.arange(emax, dtype=jnp.int32)
-    shift_at_start = jnp.zeros((emax,), jnp.int32).at[bounds[:num_tiles]].max(
-        jnp.where(tile_count > 0, astart - bounds[:num_tiles], 0), mode="drop"
-    )
-    slot_shift = lax.cummax(shift_at_start, axis=0)
-    valid_sorted = tile_sorted < num_tiles
-    slot = jnp.where(valid_sorted, pos + slot_shift, mcap)  # out of range -> dropped
-    inst_splat = jnp.full((mcap,), n, jnp.int32).at[slot].set(splat_sorted, mode="drop")
-    # enumeration index m -> aligned slot (mcap = dropped/invalid); the
-    # backward gather-transpose walks this to turn per-slot gradients into
-    # contiguous per-splat segments (see ops/composite.composite_from_feats)
-    slot_of_enum = jnp.full((emax,), mcap, jnp.int32).at[m_sorted].set(
-        jnp.minimum(slot, mcap), mode="drop"
+    # ---- ONE stable sort by tile: real entries keep front-to-back depth
+    # order (enum order is splat-major over depth-sorted splats); pads land at
+    # each tile's end (they come after all real entries in input order);
+    # sentinels land at the very end. Every tile segment is now exactly
+    # ceil(count/b)*b long, so segment starts are b-aligned and the sorted
+    # order IS the block-aligned instance buffer.
+    tile_all = jnp.concatenate([tile, pad_tile])
+    s_all = jnp.concatenate([s, jnp.full((pad_cap,), n, jnp.int32)])
+    m_all = jnp.concatenate([m, jnp.full((pad_cap,), emax, jnp.int32)])
+    tile_sorted, inst_splat, m_pos = lax.sort(
+        (tile_all, s_all, m_all), num_keys=1, is_stable=True
     )
 
-    # flat block work-list
-    bcount = aligned // b
-    boffs = jnp.cumsum(bcount) - bcount
-    total_blocks = jnp.minimum(boffs[-1] + bcount[-1], nb) if num_tiles > 0 else jnp.int32(0)
-    bb = jnp.arange(nb, dtype=jnp.int32)
-    tb = jnp.clip(jnp.searchsorted(boffs, bb, side="right") - 1, 0, num_tiles - 1).astype(jnp.int32)
-    valid_b = bb < total_blocks
-    # padding blocks revisit the tile of the last real block with null
-    # instances (no-op), so they never clobber another tile's output
-    last_tile = jnp.where(
-        total_blocks > 0, jnp.take(tb, jnp.clip(total_blocks - 1, 0, nb - 1)), 0
-    )
-    block_tile = jnp.where(valid_b, tb, last_tile).astype(jnp.int32)
-    block_first = (valid_b & (bb == jnp.take(boffs, tb))).astype(jnp.int32)
-    block_live = valid_b.astype(jnp.int32)  # kernels skip compute on padding blocks
+    # ---- block metadata: free strided slices of the sorted tile ids ----
+    nb = grid.num_blocks
+    bt = tile_sorted[::b]  # [NB] tile of each block's first row
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), tile_sorted[b - 1 :: b][:-1]])
+    block_live_mask = bt < num_tiles
+    block_first = (block_live_mask & (bt != prev)).astype(jnp.int32)
+    block_live = block_live_mask.astype(jnp.int32)
+    # dead blocks (the sentinel suffix) revisit the tile of the LAST live
+    # block: they run no compute and the final write-back re-writes that
+    # tile's already-final output, so they can never clobber another tile
+    # (same guarantee the pre-padding design had). bt is nondecreasing, so
+    # the last live block is just before the first sentinel block.
+    idx_last = jnp.clip(jnp.searchsorted(bt, jnp.int32(num_tiles)) - 1, 0, nb - 1)
+    last_tile = jnp.minimum(jnp.take(bt, idx_last), num_tiles - 1)
+    block_tile = jnp.where(block_live_mask, bt, last_tile).astype(jnp.int32)
 
-    # a tile's output is defined iff its first block actually ran
-    tile_ok = (tile_count > 0) & (boffs < total_blocks)
+    tile_ok = tile_count > 0
 
-    overflow = jnp.maximum(total - emax, 0) + jnp.maximum(total_aligned - mcap, 0)
     return {
         "inst_splat": inst_splat,
-        "slot_of_enum": slot_of_enum,
+        "m_pos": m_pos,
         "seg_offs": offs,
         "seg_cnt": cnt,
         "block_tile": block_tile,
@@ -199,5 +242,5 @@ def bin_splats(mean2d, extent, grid: TileGrid):
         "block_live": block_live,
         "tile_ok": tile_ok,
         "tile_count": tile_count,
-        "num_culled_instances": overflow.astype(jnp.int32),
+        "num_culled_instances": overflow,
     }

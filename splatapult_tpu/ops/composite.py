@@ -315,9 +315,16 @@ def _cff_bwd(grid, residuals, dout):
     d_inst = _bwd_call(
         inst, bins["block_tile"], bins["block_first"], bins["block_live"], out, dout, grid
     )
-    # gather transpose: slot-space grads -> enumeration order -> per-splat sums
-    d_inst_pad = jnp.concatenate([d_inst, jnp.zeros((1, NUM_FEATS), d_inst.dtype)], axis=0)
-    d_enum = jnp.take(d_inst_pad, jnp.minimum(bins["slot_of_enum"], grid.mcap), axis=0)
+    # gather transpose: pos-space grads -> enumeration order -> per-splat sums.
+    # The inverse of the binning sort is recovered by a second (2-operand)
+    # sort of the enumeration ids it carried — ~3x cheaper than scattering an
+    # inverse index map (see ops/binning.py header). Pad/sentinel rows carry
+    # m = emax and sort past the first emax entries; their d rows are zeros
+    # anyway (the backward kernel zero-fills skipped blocks).
+    pos_of_enum = lax.sort(
+        (bins["m_pos"], jnp.arange(grid.mcap, dtype=jnp.int32)), num_keys=1
+    )[1][: grid.emax]
+    d_enum = jnp.take(d_inst, pos_of_enum, axis=0)
     cs = jnp.concatenate(
         [jnp.zeros((1, NUM_FEATS), d_enum.dtype), jnp.cumsum(d_enum, axis=0)], axis=0
     )
