@@ -90,9 +90,11 @@ def test_binning_overflow_reported():
     bins = bin_splats(mean2d, radius, grid)
     assert int(bins["num_culled_instances"]) == 0
     # three such splats -> 12 raw instances > emax=8 -> overflow reported
-    grid3 = TileGrid.create(width=32, height=32, num_splats=3, tile_size=16, block=8,
-                            max_instance_mult=1)
-    assert grid3.emax == 8
+    # (constructed directly: create() rounds emax up to >= 4096 for the
+    # backward prefix-sum kernel, which would hide the overflow here)
+    import dataclasses
+
+    grid3 = dataclasses.replace(grid, emax=8, mcap=8 + grid.num_tiles * 8)
     mean3 = jnp.tile(jnp.asarray([[16.0, 16.0]]), (3, 1))
     bins3 = bin_splats(mean3, jnp.full((3,), 100.0), grid3)
     assert int(bins3["num_culled_instances"]) > 0
