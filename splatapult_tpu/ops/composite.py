@@ -10,22 +10,35 @@ only viewer) has no analog of.
 Dataflow (see ops/binning.py for how the work-list is built):
 - The kernels run over a FLAT grid of B-instance blocks, sorted by tile. Each
   block belongs to exactly one tile (lists are B-aligned with null instances),
-  so there is no masking anywhere: null instances carry alpha 0 and are no-ops.
+  so there is no masking anywhere: null instances carry weight 0 and are no-ops.
 - The output block index is the block's owning tile; consecutive blocks of one
   tile revisit the same VMEM-resident output block, which doubles as the
   compositing accumulator (rows 0-2 premultiplied RGB, row 3 alpha, row 4
   transmittance T). Pallas's pipelining double-buffers the instance blocks.
 - Within a block, the front-to-back products are closed-form: an exclusive
-  cumulative product of (1 - w) along the splat axis, computed with a
-  log2(B)-step Hillis-Steele scan of sublane rolls on the VPU.
+  cumulative product of (1 - w) along the splat axis as a log-space triangular
+  MXU matmul.
 - The backward kernel re-walks the same blocks front-to-back (transmittance
   replay: only the forward's final per-pixel color/transmittance are saved, no
-  per-splat intermediates), producing per-instance feature gradients that the
-  caller scatter-adds back to splats through the gather's natural VJP.
+  per-splat intermediates). All pixel-axis gradient reductions are MXU
+  matmuls: the quadratic form q is linear in the six monomials
+  [u^2, uv, v^2, u, v, 1] of *tile-local* pixel coordinates, so the six
+  spatial gradients come from ONE [B, P] x [P, 8] moment matmul followed by
+  [B, 1]-cheap recombination — not six separate VPU reduction chains.
+  (Tile-local coordinates keep the monomials O(tile_size), so the moment
+  recombination does not lose precision the way a global-coordinate
+  polynomial expansion would.)
+
+Feature parameterization: the opacity rides inside the exponent —
+  w = exp(qa*dx^2 + qb*dx*dy + qc*dy^2 + ln(alpha))
+with qa = -a/2, qb = -b, qc = -c/2 from the conic (a, b, c). This fuses the
+alpha multiply into the exp, makes the 1/256 discard (shader/splat_frag.glsl:
+38-41) a comparison on the exponent, and gives the ln-alpha gradient for free
+as the zeroth moment.
 
 Layouts (B = block, P = tile_size^2 pixels):
-  instance features  [Mcap, 16] f32, cols: mean_x, mean_y, conic_a, conic_b,
-                     conic_c, r, g, b, alpha, 0...  (null row = all zero)
+  instance features  [Mcap, 16] f32, cols: mean_x, mean_y, qa, qb, qc,
+                     ln_alpha, r, g, b, 0...  (null row: ln_alpha = -100)
   per-tile output    [T, 8, P] f32, rows: premult r, g, b, alpha, T, 0, 0, 0
   compute shape      [B, P]: splats on sublanes, pixels on lanes
 """
@@ -33,9 +46,11 @@ Layouts (B = block, P = tile_size^2 pixels):
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -44,8 +59,10 @@ from splatapult_tpu.ops.binning import TileGrid
 
 NUM_FEATS = 16
 OUT_ROWS = 8
+NULL_LN_ALPHA = -100.0  # exp(-100) == 0 in float32
 # feature column indices
-F_MX, F_MY, F_CA, F_CB, F_CC, F_R, F_G, F_B, F_ALPHA = range(9)
+F_MX, F_MY, F_QA, F_QB, F_QC, F_LNA, F_R, F_G, F_B = range(9)
+NUM_MOMS = 8  # [u^2, uv, v^2, u, v, 1] + 2 zero-pad columns
 
 
 def _interpret() -> bool:
@@ -79,36 +96,64 @@ def _excl_cumprod_rows(x, eps: float = 1e-37):
     return jnp.exp(_scan_rows_add(logs, strict=True))
 
 
+def _tile_centers(t, grid: TileGrid):
+    """Center of tile t in gl screen coordinates (+y up) -> scalar (tcx, tcy)."""
+    ts = grid.tile_size
+    tcx = (t % grid.tiles_x).astype(jnp.float32) * ts + 0.5 * ts
+    tcy = grid.height - (t // grid.tiles_x).astype(jnp.float32) * ts - 0.5 * ts
+    return tcx, tcy
+
+
 def _pixel_coords(t, grid: TileGrid):
     """gl_FragCoord-style pixel centers for tile t -> ([1, P] x, [1, P] y)."""
     ts = grid.tile_size
-    tx = (t % grid.tiles_x).astype(jnp.float32)
-    ty = (t // grid.tiles_x).astype(jnp.float32)
+    tcx, tcy = _tile_centers(t, grid)
+    u, v = _local_coords(grid)
+    return tcx + u, tcy + v
+
+
+def _local_coords(grid: TileGrid):
+    """Tile-local pixel-center offsets from the tile center -> ([1,P], [1,P])."""
+    ts = grid.tile_size
     pidx = lax.broadcasted_iota(jnp.int32, (1, grid.tile_pixels), 1)
-    col = (pidx % ts).astype(jnp.float32)
-    rowp = (pidx // ts).astype(jnp.float32)
-    px = tx * ts + col + 0.5
-    py = grid.height - (ty * ts + rowp) - 0.5  # +y up, row 0 = top
-    return px, py
+    u = (pidx % ts).astype(jnp.float32) + 0.5 - 0.5 * ts
+    v = 0.5 * ts - (pidx // ts).astype(jnp.float32) - 0.5
+    return u, v
+
+
+def moment_basis(grid: TileGrid) -> np.ndarray:
+    """Constant [P, 8] monomial basis in tile-local pixel coordinates.
+
+    Identical for every tile (local coordinates), so it is built host-side
+    once and streamed to VMEM with a constant index map.
+    """
+    ts = grid.tile_size
+    pidx = np.arange(grid.tile_pixels)
+    u = (pidx % ts).astype(np.float32) + 0.5 - 0.5 * ts
+    v = 0.5 * ts - (pidx // ts).astype(np.float32) - 0.5
+    cols = [u * u, u * v, v * v, u, v, np.ones_like(u), np.zeros_like(u),
+            np.zeros_like(u)]
+    return np.stack(cols, axis=1)  # [P, 8]
 
 
 def _block_weights(feats, px, py, grid: TileGrid):
-    """Per-(splat, pixel) gaussian weights for one block.
+    """Per-(splat, pixel) composite weights w = alpha * g for one block.
 
-    Returns (w [B, P], g [B, P], dx, dy). w already has the 1/256 discard
-    (shader/splat_frag.glsl:38-41) applied when grid.alpha_cutoff > 0.
+    The 1/256 discard (shader/splat_frag.glsl:38-41) is a comparison on the
+    exponent: w > cutoff  <=>  qh > ln(cutoff).
     """
     dx = px - feats[:, F_MX : F_MX + 1]  # [B, P]
     dy = py - feats[:, F_MY : F_MY + 1]
-    a = feats[:, F_CA : F_CA + 1]
-    bb = feats[:, F_CB : F_CB + 1]
-    c = feats[:, F_CC : F_CC + 1]
-    q = a * dx * dx + (2.0 * bb) * dx * dy + c * dy * dy
-    g = jnp.exp(-0.5 * q)  # shader/splat_frag.glsl:25
-    w = feats[:, F_ALPHA : F_ALPHA + 1] * g
+    qh = (
+        feats[:, F_QA : F_QA + 1] * dx * dx
+        + feats[:, F_QB : F_QB + 1] * dx * dy
+        + feats[:, F_QC : F_QC + 1] * dy * dy
+        + feats[:, F_LNA : F_LNA + 1]
+    )
+    w = jnp.exp(qh)
     if grid.alpha_cutoff > 0.0:
-        w = jnp.where(w > grid.alpha_cutoff, w, 0.0)
-    return w, g, dx, dy
+        w = jnp.where(qh > math.log(grid.alpha_cutoff), w, 0.0)
+    return w
 
 
 def _fwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, out_ref):
@@ -129,14 +174,14 @@ def _fwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, out_ref):
     def body():
         feats = inst_ref[:, :]  # [B, 16]
         px, py = _pixel_coords(t, grid)
-        w, _, _, _ = _block_weights(feats, px, py, grid)
+        w = _block_weights(feats, px, py, grid)
         one_minus = 1.0 - w
         excl = _excl_cumprod_rows(one_minus)
         t_before = out_ref[0, 4:5, :] * excl
         eff = t_before * w  # [B, P]
         block_prod = excl[grid.block - 1 : grid.block, :] * one_minus[grid.block - 1 : grid.block, :]
         t_new = out_ref[0, 4:5, :] * block_prod
-        # color accumulation: one [3+1, B] x [B, P] matmul on the MXU instead
+        # color accumulation: one [3, B] x [B, P] matmul on the MXU instead
         # of three separate sublane reductions
         cmat = jnp.transpose(feats[:, F_R : F_R + 3])  # [3, B]
         contrib = jnp.dot(cmat, eff, preferred_element_type=jnp.float32)  # [3, P]
@@ -154,8 +199,8 @@ def _fwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, out_ref):
         pl.when(live)(body)
 
 
-def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, res_ref, dout_ref,
-                dinst_ref, carry):
+def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, basis_ref,
+                res_ref, dout_ref, dinst_ref, carry):
     j = pl.program_id(0)
     t = bt_ref[j]
     first = bf_ref[j] == 1
@@ -170,7 +215,7 @@ def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, res_ref, dout_
     def body():
         feats = inst_ref[:, :]
         px, py = _pixel_coords(t, grid)
-        w, g, dx, dy = _block_weights(feats, px, py, grid)
+        w = _block_weights(feats, px, py, grid)
         one_minus = 1.0 - w
         excl = _excl_cumprod_rows(one_minus)
         t_run = carry[0:1, :]
@@ -181,6 +226,7 @@ def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, res_ref, dout_
         t_fin = res_ref[0, 4:5, :]
         d_alpha_out = dout_ref[0, 3:4, :]
         d_tfin_out = dout_ref[0, 4:5, :]
+        d_rgb_out = dout_ref[0, 0:3, :]  # [3, P]
         inv_om = 1.0 / jnp.maximum(one_minus, 1e-9)
 
         # dL/dw accumulated over color channels + alpha/transmittance rows.
@@ -190,37 +236,47 @@ def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, res_ref, dout_
         #     = sum_c dC_c (C_fin_c - C_sofar_c) - cumsum(eff * sum_c dC_c c_c),
         # so only the dC-weighted color dot needs scanning.
         dw = (d_alpha_out - d_tfin_out) * (t_fin * inv_om)
-        cdot = jnp.zeros_like(eff)
-        sdot_fin = jnp.zeros_like(t_fin)
-        dcols = []
-        for ch in range(3):
-            ccol = feats[:, F_R + ch : F_R + ch + 1]
-            d_c = dout_ref[0, ch : ch + 1, :]
-            cdot = cdot + ccol * d_c
-            sdot_fin = sdot_fin + d_c * (res_ref[0, ch : ch + 1, :] - carry[1 + ch : 2 + ch, :])
-            dcols.append(jnp.sum(eff * d_c, axis=1, keepdims=True))  # [B, 1]
+        colors = feats[:, F_R : F_R + 3]  # [B, 3]
+        cdot = jnp.dot(colors, d_rgb_out, preferred_element_type=jnp.float32)  # [B, P]
+        sdot_fin = jnp.sum(
+            d_rgb_out * (res_ref[0, 0:3, :] - carry[1:4, :]), axis=0, keepdims=True
+        )  # [1, P]
         incl_dot = _scan_rows_add(eff * cdot)
         dw = dw + t_before * cdot - (sdot_fin - incl_dot) * inv_om
-        if grid.alpha_cutoff > 0.0:
-            # subgradient of the discard: contributions below the cutoff are
-            # identically zero in the forward, so their w-gradient is zero too.
-            # Without a cutoff, zero-weight splats (alpha = 0) still carry a
-            # real d/d_alpha = g * dw, so dw must NOT be masked.
-            dw = jnp.where(w > 0.0, dw, 0.0)
 
-        d_alpha = jnp.sum(g * dw, axis=1, keepdims=True)
-        dq = -0.5 * w * dw
-        a = feats[:, F_CA : F_CA + 1]
-        bbb = feats[:, F_CB : F_CB + 1]
-        c = feats[:, F_CC : F_CC + 1]
-        d_ca = jnp.sum(dq * dx * dx, axis=1, keepdims=True)
-        d_cb = jnp.sum(2.0 * dq * dx * dy, axis=1, keepdims=True)
-        d_cc = jnp.sum(dq * dy * dy, axis=1, keepdims=True)
-        d_mx = jnp.sum(-dq * (2.0 * a * dx + 2.0 * bbb * dy), axis=1, keepdims=True)
-        d_my = jnp.sum(-dq * (2.0 * bbb * dx + 2.0 * c * dy), axis=1, keepdims=True)
+        # exponent cotangent; w == 0 below the discard cutoff kills its
+        # gradient automatically (subgradient of the discard)
+        dqh = w * dw
+
+        # all six spatial reductions from ONE moment matmul over the
+        # tile-local monomial basis [u^2, uv, v^2, u, v, 1]
+        mom = jnp.dot(dqh, basis_ref[:, :], preferred_element_type=jnp.float32)  # [B, 8]
+        m_uu, m_uv, m_vv = mom[:, 0:1], mom[:, 1:2], mom[:, 2:3]
+        m_u, m_v, m_1 = mom[:, 3:4], mom[:, 4:5], mom[:, 5:6]
+        tcx, tcy = _tile_centers(t, grid)
+        mxu = feats[:, F_MX : F_MX + 1] - tcx  # [B, 1]
+        myu = feats[:, F_MY : F_MY + 1] - tcy
+        # dx = u - mxu, dy = v - myu:
+        d_qa = m_uu - 2.0 * mxu * m_u + mxu * mxu * m_1
+        d_qb = m_uv - mxu * m_v - myu * m_u + mxu * myu * m_1
+        d_qc = m_vv - 2.0 * myu * m_v + myu * myu * m_1
+        d_lna = m_1
+        qa = feats[:, F_QA : F_QA + 1]
+        qb = feats[:, F_QB : F_QB + 1]
+        qc = feats[:, F_QC : F_QC + 1]
+        gx = m_u - mxu * m_1  # = sum_p dqh * dx
+        gy = m_v - myu * m_1
+        d_mx = -(2.0 * qa * gx + qb * gy)
+        d_my = -(qb * gx + 2.0 * qc * gy)
+
+        # color grads: per-channel pixel reductions (cheap next to the scans)
+        dcols = [
+            jnp.sum(eff * d_rgb_out[ch : ch + 1, :], axis=1, keepdims=True)
+            for ch in range(3)
+        ]
 
         dinst_ref[:, :] = jnp.concatenate(
-            [d_mx, d_my, d_ca, d_cb, d_cc, dcols[0], dcols[1], dcols[2], d_alpha,
+            [d_mx, d_my, d_qa, d_qb, d_qc, d_lna, dcols[0], dcols[1], dcols[2],
              jnp.zeros((b, NUM_FEATS - 9), jnp.float32)],
             axis=1,
         )
@@ -228,11 +284,9 @@ def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, res_ref, dout_
         # advance carries past this block (block totals are plain reductions,
         # not scans)
         carry[0:1, :] = t_run * block_prod
-        for ch in range(3):
-            ccol = feats[:, F_R + ch : F_R + ch + 1]
-            carry[1 + ch : 2 + ch, :] = carry[1 + ch : 2 + ch, :] + jnp.sum(
-                eff * ccol, axis=0, keepdims=True
-            )
+        carry[1:4, :] = carry[1:4, :] + jnp.dot(
+            jnp.transpose(colors), eff, preferred_element_type=jnp.float32
+        )
 
     if grid.early_stop_eps > 0.0:
         run = live & (first | (jnp.max(carry[0:1, :]) >= grid.early_stop_eps))
@@ -273,18 +327,20 @@ def _bwd_call(inst, block_tile, block_first, block_live, out_res, dout, grid: Ti
         grid=(grid.num_blocks,),
         in_specs=[
             pl.BlockSpec((grid.block, NUM_FEATS), lambda j, bt, bf, bl: (j, 0)),
+            pl.BlockSpec((p, NUM_MOMS), lambda j, bt, bf, bl: (0, 0)),
             pl.BlockSpec((1, OUT_ROWS, p), lambda j, bt, bf, bl: (bt[j], 0, 0)),
             pl.BlockSpec((1, OUT_ROWS, p), lambda j, bt, bf, bl: (bt[j], 0, 0)),
         ],
         out_specs=pl.BlockSpec((grid.block, NUM_FEATS), lambda j, bt, bf, bl: (j, 0)),
         scratch_shapes=[pltpu.VMEM((4, p), jnp.float32)],
     )
+    basis = jnp.asarray(moment_basis(grid))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((grid.mcap, NUM_FEATS), jnp.float32),
         interpret=_interpret(),
-    )(block_tile, block_first, block_live, inst, out_res, dout)
+    )(block_tile, block_first, block_live, inst, basis, out_res, dout)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -295,10 +351,10 @@ def composite_from_feats(feats, bins, grid: TileGrid):
     ops.binning.bin_splats. Differentiable in feats via the hand-written
     transmittance-replay backward kernel PLUS a sort-structured gather
     transpose: per-instance gradients are mapped back to enumeration order
-    (where each splat's instances are contiguous) with one gather, prefix-
-    summed, and segment-differenced — avoiding the giant scatter-add XLA
-    would emit for the instance gather's VJP (~500 ms at 4M instances; this
-    path costs a few ms).
+    (where each splat's instances are contiguous) with one gather, then
+    segment-reduced with the Pallas prefix-sum kernel (ops/scan.py) —
+    avoiding the giant scatter-add XLA would emit for the instance gather's
+    VJP (~500 ms at 4M instances; this path costs a few ms).
     """
     inst = jnp.take(feats, bins["inst_splat"], axis=0)
     return _fwd_call(inst, bins["block_tile"], bins["block_first"], bins["block_live"], grid)

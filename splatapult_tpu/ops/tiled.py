@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from splatapult_tpu.ops.binning import TileGrid, bin_splats
-from splatapult_tpu.ops.composite import NUM_FEATS, composite_from_feats
+from splatapult_tpu.ops.composite import NULL_LN_ALPHA, NUM_FEATS, composite_from_feats
 
 
 def _grid_from_config(config, num_splats: int) -> TileGrid:
@@ -30,14 +30,23 @@ def _grid_from_config(config, num_splats: int) -> TileGrid:
 
 
 def pack_features(mean2d, conic, rgb, alpha):
-    """[N] splat arrays -> [N + 1, 16] feature rows; last row is the null splat."""
+    """[N] splat arrays -> [N + 1, 16] feature rows; last row is the null splat.
+
+    The kernel parameterization folds the opacity into the exponent
+    (ops/composite.py): qa = -a/2, qb = -b, qc = -c/2 and ln(alpha), so
+    w = alpha * exp(-0.5 q) is a single exp. Gradients to conic/alpha flow
+    through these transforms by autodiff.
+    """
     n = mean2d.shape[0]
+    qcoef = conic * jnp.asarray([-0.5, -1.0, -0.5], conic.dtype)
+    ln_alpha = jnp.log(jnp.maximum(alpha, 1e-37))[:, None]
     feats = jnp.concatenate(
-        [mean2d, conic, rgb, alpha[:, None],
+        [mean2d, qcoef, ln_alpha, rgb,
          jnp.zeros((n, NUM_FEATS - 9), mean2d.dtype)],
         axis=1,
     )
-    return jnp.concatenate([feats, jnp.zeros((1, NUM_FEATS), feats.dtype)], axis=0)
+    null = jnp.zeros((1, NUM_FEATS), feats.dtype).at[0, 5].set(NULL_LN_ALPHA)
+    return jnp.concatenate([feats, null], axis=0)
 
 
 def composite_tiled(sorted_splats, config, return_aux: bool = False):
