@@ -80,8 +80,6 @@ class TileGrid:
     def create(width, height, num_splats, tile_size=32, block=128,
                max_instance_mult=6, alpha_cutoff=1.0 / 256.0, early_stop_eps=0.0):
         assert block & (block - 1) == 0, "block must be a power of two"
-        # multiple of 4096 so the backward's Pallas prefix-sum kernel
-        # (ops/scan.py) divides the enumeration buffer evenly
         emax = max(4096, -(-int(max_instance_mult * max(num_splats, 1)) // 4096) * 4096)
         tiles = (-(-width // tile_size)) * (-(-height // tile_size))
         mcap = emax + tiles * block  # worst-case alignment padding: < block per tile

@@ -349,12 +349,12 @@ def composite_from_feats(feats, bins, grid: TileGrid):
 
     feats is [N + 1, 16] (last row = null splat); ``bins`` is the dict from
     ops.binning.bin_splats. Differentiable in feats via the hand-written
-    transmittance-replay backward kernel PLUS a sort-structured gather
-    transpose: per-instance gradients are mapped back to enumeration order
-    (where each splat's instances are contiguous) with one gather, then
-    segment-reduced with the Pallas prefix-sum kernel (ops/scan.py) —
-    avoiding the giant scatter-add XLA would emit for the instance gather's
-    VJP (~500 ms at 4M instances; this path costs a few ms).
+    transmittance-replay backward kernel PLUS a sort transpose: per-instance
+    gradients ride the enumeration-id sort back to enumeration order (where
+    each splat's instances are contiguous) and are segment-reduced with one
+    cumsum — avoiding both the giant scatter-add XLA would emit for the
+    instance gather's VJP (~500 ms at 4M instances) and a random-access
+    inverse-permutation gather (~110 ms).
     """
     inst = jnp.take(feats, bins["inst_splat"], axis=0)
     return _fwd_call(inst, bins["block_tile"], bins["block_first"], bins["block_live"], grid)
@@ -372,26 +372,37 @@ def _cff_fwd(feats, bins, grid):
 
 
 def _cff_bwd(grid, residuals, dout):
-    from splatapult_tpu.ops.scan import segment_sum_rows
-
     inst, bins, out = residuals
     d_inst = _bwd_call(
         inst, bins["block_tile"], bins["block_first"], bins["block_live"], out, dout, grid
     )
-    # gather transpose: pos-space grads -> enumeration order -> per-splat sums.
-    # The inverse of the binning sort is recovered by a second (2-operand)
-    # sort of the enumeration ids it carried — ~3x cheaper than scattering an
-    # inverse index map (see ops/binning.py header). Pad/sentinel rows carry
-    # m = emax and sort past the first emax entries; their d rows are zeros
-    # anyway (the backward kernel zero-fills skipped blocks).
-    pos_of_enum = lax.sort(
-        (bins["m_pos"], jnp.arange(grid.mcap, dtype=jnp.int32)), num_keys=1
-    )[1][: grid.emax]
-    d_enum = jnp.take(d_inst, pos_of_enum, axis=0)
-    start = jnp.minimum(bins["seg_offs"], grid.emax)
+    # sort transpose: pos-space grads -> enumeration order -> per-splat sums.
+    # The nine live gradient columns ride the m_pos sort as payload operands:
+    # sorts stream HBM sequentially (~2.5 ms per operand at 4M rows) whereas
+    # the alternative — inverting the permutation and row-gathering d_inst —
+    # is a random-access sweep over a 273 MB array (~110 ms measured on v5e).
+    # Pad/sentinel slots carry m = emax and sort past the first emax entries;
+    # their d rows are zeros anyway (the backward kernel zero-fills skipped
+    # blocks).
+    sorted_cols = lax.sort(
+        (bins["m_pos"],) + tuple(d_inst[:, i] for i in range(9)), num_keys=1
+    )
+    d_enum = jnp.stack([c[: grid.emax] for c in sorted_cols[1:]], axis=1)  # [emax, 9]
+    # per-splat segment sums over the enumeration ranges. Segments are
+    # CONTIGUOUS (offs is an exact exclusive cumsum of cnt, dropped splats
+    # have cnt == 0), so start_i == end_{i-1} and one prefix gather + a
+    # first-difference replaces two gathers (random row gathers over a
+    # ~100 MB array cost ~19 ms each at 1M rows on v5e — they, not the sort
+    # or the cumsum, dominate this transpose).
+    cs = jnp.cumsum(d_enum, axis=0)
     end = jnp.minimum(bins["seg_offs"] + bins["seg_cnt"], grid.emax)
-    d_rows = segment_sum_rows(d_enum, start, end)  # [N, 16]
-    d_feats = jnp.concatenate([d_rows, jnp.zeros((1, NUM_FEATS), d_rows.dtype)], axis=0)
+    g = jnp.take(cs, jnp.clip(end - 1, 0, grid.emax - 1), axis=0)
+    g = jnp.where((end > 0)[:, None], g, 0.0)  # [N, 9] cs at segment ends
+    d_rows = jnp.diff(g, axis=0, prepend=jnp.zeros((1, 9), g.dtype))  # [N, 9]
+    d_feats = jnp.concatenate(
+        [d_rows, jnp.zeros((d_rows.shape[0], NUM_FEATS - 9), d_rows.dtype)], axis=1
+    )
+    d_feats = jnp.concatenate([d_feats, jnp.zeros((1, NUM_FEATS), d_feats.dtype)], axis=0)
     return d_feats, None
 
 

@@ -161,24 +161,28 @@ def prepare_splats(scene: GaussianScene, camera: Camera, config: RenderConfig):
     inv_order = jnp.zeros((n,), jnp.int32).at[order].set(idx)
 
     alpha_eff = jnp.where(proj.mask, alpha, 0.0)
-    # one packed row permutation for all differentiable per-splat features
-    # (a single [N, 9] gather + a gather-transpose VJP, instead of several
-    # independent takes whose VJPs would each scatter-add)
+    # ONE packed row permutation for every per-splat output (a single [N, 14]
+    # gather + a gather-transpose VJP, instead of several independent takes
+    # whose VJPs would each scatter-add). Row gathers cost per index, not per
+    # byte, so the non-differentiable plumbing columns ride along for free.
+    ng = jax.lax.stop_gradient
     packed = jnp.concatenate(
-        [proj.mean2d, proj.conic, rgb, alpha_eff[:, None]], axis=1
-    )  # [N, 9]
+        [proj.mean2d, proj.conic, rgb, alpha_eff[:, None],
+         ng(proj.depth)[:, None], ng(proj.radius)[:, None], ng(proj.extent),
+         ng(proj.mask).astype(jnp.float32)[:, None]],
+        axis=1,
+    )  # [N, 14]
     packed_sorted = _permute_rows(packed, order, inv_order)
 
-    take_ng = lambda x: jnp.take(jax.lax.stop_gradient(x), order, axis=0)
     return {
         "mean2d": packed_sorted[:, 0:2],
         "conic": packed_sorted[:, 2:5],
         "rgb": packed_sorted[:, 5:8],
         "alpha": packed_sorted[:, 8],
-        "depth": take_ng(proj.depth),
-        "radius": take_ng(proj.radius),
-        "extent": take_ng(proj.extent),
-        "mask": take_ng(proj.mask),
+        "depth": packed_sorted[:, 9],
+        "radius": packed_sorted[:, 10],
+        "extent": packed_sorted[:, 11:13],
+        "mask": packed_sorted[:, 13] > 0.5,
     }
 
 

@@ -1,0 +1,138 @@
+"""Decompose the composite backward at bench scale: kernel vs transpose vs scan.
+
+Precomputes concrete bins/feats on device, then times each backward piece as
+K data-chained reps in one jitted fori_loop (see bench.py for why).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _t(f):
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
+
+
+def timed(name, fn, *args, k=6):
+    import jax
+    import jax.numpy as jnp
+
+    def k_steps(k_iters, *a):
+        def body(_, c):
+            return fn(c, *a)
+
+        return jax.lax.fori_loop(0, k_iters, body, jnp.float32(0.0))
+
+    r = jax.jit(k_steps)
+    float(r(np.int32(1), *args))
+    t1 = min(_t(lambda: float(r(np.int32(1), *args))) for _ in range(2))
+    tk = min(_t(lambda: float(r(np.int32(k), *args))) for _ in range(2))
+    dt = (tk - t1) / (k - 1)
+    print(f"{name:40s} {dt * 1e3:8.2f} ms", flush=True)
+    return dt
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--splats", type=int, default=1_000_000)
+    parser.add_argument("--width", type=int, default=1920)
+    parser.add_argument("--height", type=int, default=1080)
+    parser.add_argument("--instance-mult", type=int, default=4)
+    parser.add_argument("--early-stop", type=float, default=1e-4)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/splatapult_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    from bench import make_scene
+    from splatapult_tpu.core import transforms as T
+    from splatapult_tpu.ops import composite as C
+    from splatapult_tpu.ops.binning import TileGrid, bin_splats
+    from splatapult_tpu.ops.tiled import pack_features
+    from splatapult_tpu.render import Camera, RenderConfig, prepare_splats
+
+    scene = make_scene(args.splats)
+    cam = Camera.from_fov(
+        T.look_at(eye=[0.0, 0.8, 4.5], target=[0, 0, 0], up=[0, 1, 0]),
+        fovy=np.pi / 4, width=args.width, height=args.height,
+    )
+    config = RenderConfig(
+        width=args.width, height=args.height, pipeline="tiled",
+        max_instance_mult=args.instance_mult, early_stop_eps=args.early_stop,
+    )
+    grid = TileGrid.create(
+        width=args.width, height=args.height, num_splats=args.splats,
+        tile_size=config.tile_size, block=config.tile_block,
+        max_instance_mult=args.instance_mult, early_stop_eps=args.early_stop,
+    )
+
+    @jax.jit
+    def setup(scene):
+        d = prepare_splats(scene, cam, config)
+        bins = bin_splats(
+            jax.lax.stop_gradient(d["mean2d"]),
+            jax.lax.stop_gradient(d["extent"]), grid,
+        )
+        feats = pack_features(d["mean2d"], d["conic"], d["rgb"], d["alpha"])
+        inst = jnp.take(feats, bins["inst_splat"], axis=0)
+        out = C._fwd_call(
+            inst, bins["block_tile"], bins["block_first"], bins["block_live"], grid
+        )
+        return bins, feats, inst, out
+
+    bins, feats, inst, out = jax.block_until_ready(setup(scene))
+    print(f"# instances total={int(np.asarray(bins['tile_count']).sum())} "
+          f"culled={int(np.asarray(bins['num_culled_instances']))} "
+          f"emax={grid.emax} mcap={grid.mcap} blocks={grid.num_blocks} "
+          f"live={int(np.asarray(bins['block_live']).sum())}",
+          flush=True)
+
+    dout = jnp.ones_like(out) * 1e-3
+
+    def chain(c, x):
+        return (x.reshape(-1)[0] + c * 1e-30).astype(jnp.float32) * 1e-30 + c * 1e-30
+
+    timed(
+        "fwd kernel only",
+        lambda c, i: chain(
+            c,
+            C._fwd_call(i + c, bins["block_tile"], bins["block_first"],
+                        bins["block_live"], grid),
+        ),
+        inst,
+    )
+    timed(
+        "bwd kernel only",
+        lambda c, i: chain(
+            c,
+            C._bwd_call(i + c, bins["block_tile"], bins["block_first"],
+                        bins["block_live"], out, dout, grid),
+        ),
+        inst,
+    )
+    timed(
+        "full composite vjp",
+        lambda c, f: chain(
+            c,
+            jax.vjp(lambda ff: C.composite_from_feats(ff, bins, grid), f + c)[1](dout)[0],
+        ),
+        feats,
+    )
+
+
+if __name__ == "__main__":
+    main()
