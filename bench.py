@@ -64,9 +64,10 @@ def main():
     parser.add_argument("--warmup", type=int, default=1)
     parser.add_argument("--fwd-only", action="store_true")
     parser.add_argument(
-        "--instance-mult", type=int, default=3,
+        "--instance-mult", type=int, default=2,
         help="instance-buffer capacity as a multiple of N (the bench scene "
-             "peaks at ~1.9 instances/splat; overflow is reported, not silent)",
+             "peaks at ~1.72 instances/splat with opacity-tightened AABBs; "
+             "overflow is reported, not silent)",
     )
     parser.add_argument("--tile-size", type=int, default=32)
     parser.add_argument("--tile-block", type=int, default=128)

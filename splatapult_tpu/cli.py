@@ -42,6 +42,8 @@ def _add_common(p):
     p.add_argument("--srgb", action="store_true",
                    help="treat SH radiance as sRGB, composite in linear (ref FRAMEBUFFER_SRGB)")
     p.add_argument("--pipeline", choices=["auto", "global", "tiled"], default="auto")
+    p.add_argument("--supersample", type=int, default=1,
+                   help="ordered-grid supersampling factor (ref USE_SUPERSAMPLING)")
     p.add_argument("--tile-size", type=int, default=32)
     p.add_argument("--no-floor", action="store_true",
                    help="ignore a discovered <ply>_vr.json floor transform")
@@ -66,6 +68,7 @@ def _config(args):
         accum_dtype="bfloat16" if args.fp16 else "float32",
         pipeline=args.pipeline,
         tile_size=args.tile_size,
+        supersample=args.supersample,
     )
 
 

@@ -105,6 +105,11 @@ class RenderConfig:
     tile_block: int = 128  # instances per compositing block
     max_instance_mult: int = 6  # instance-buffer capacity as a multiple of N
     early_stop_eps: float = 0.0  # skip blocks once max transmittance < eps (0 = exact)
+    # ordered-grid supersampling factor: render at supersample^2 the pixel
+    # count, box-filter down (the reference's USE_SUPERSAMPLING resolve,
+    # ref: shader/desktop_frag.glsl:19-30, enabled for the VR mirror window
+    # at src/app.cpp:564-566; it averages a 2x2 dFdx/dFdy grid).
+    supersample: int = 1
 
 
 @jax.custom_vjp
@@ -161,6 +166,22 @@ def prepare_splats(scene: GaussianScene, camera: Camera, config: RenderConfig):
     inv_order = jnp.zeros((n,), jnp.int32).at[order].set(idx)
 
     alpha_eff = jnp.where(proj.mask, alpha, 0.0)
+    extent = proj.extent
+    if config.alpha_cutoff > 0.0:
+        # Opacity-aware AABB tightening, exactly lossless: the composite
+        # discards any pixel with alpha * exp(-q/2) <= cutoff (the reference's
+        # 1/256 test, shader/splat_frag.glsl:38-41), i.e. q >= 2*ln(alpha /
+        # cutoff). The binning rect therefore only needs to cover
+        # k_eff = sqrt(2*ln(alpha/cutoff)) sigmas instead of the reference's
+        # fixed 3.5 (shader/splat_geom.glsl:58) — low-opacity splats shrink,
+        # and alpha <= cutoff splats generate zero tile instances.
+        from splatapult_tpu.core.project import EXTENT_SIGMA
+
+        k2 = 2.0 * jnp.log(
+            jnp.maximum(alpha_eff, 1e-37) * (1.0 / config.alpha_cutoff)
+        )
+        shrink = jnp.sqrt(jnp.clip(k2, 0.0, EXTENT_SIGMA * EXTENT_SIGMA)) / EXTENT_SIGMA
+        extent = extent * jax.lax.stop_gradient(shrink)[:, None]
     # ONE packed row permutation for every per-splat output (a single [N, 14]
     # gather + a gather-transpose VJP, instead of several independent takes
     # whose VJPs would each scatter-add). Row gathers cost per index, not per
@@ -168,7 +189,7 @@ def prepare_splats(scene: GaussianScene, camera: Camera, config: RenderConfig):
     ng = jax.lax.stop_gradient
     packed = jnp.concatenate(
         [proj.mean2d, proj.conic, rgb, alpha_eff[:, None],
-         ng(proj.depth)[:, None], ng(proj.radius)[:, None], ng(proj.extent),
+         ng(proj.depth)[:, None], ng(proj.radius)[:, None], ng(extent),
          ng(proj.mask).astype(jnp.float32)[:, None]],
         axis=1,
     )  # [N, 14]
@@ -253,6 +274,16 @@ def render(scene: GaussianScene, camera: Camera, config: RenderConfig) -> jax.Ar
     The functional replacement for SplatRenderer::Sort + SplatRenderer::Render
     (ref: src/splatrenderer.cpp:153-343).
     """
+    if config.supersample > 1:
+        ss = config.supersample
+        hi = dataclasses.replace(
+            config, supersample=1, width=config.width * ss, height=config.height * ss
+        )
+        img = render(scene, camera, hi)
+        # box-filter resolve (the reference averages the supersample grid,
+        # ref: shader/desktop_frag.glsl:22-29)
+        h, w = config.height, config.width
+        return img.reshape(h, ss, w, ss, 4).mean(axis=(1, 3))
     sorted_splats = prepare_splats(scene, camera, config)
     pipeline = config.pipeline
     if pipeline == "auto":

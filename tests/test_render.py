@@ -172,3 +172,16 @@ def test_render_floor_transform_changes_view():
     a = np.asarray(render(scene, cam, RenderConfig(32, 32, pipeline="global")))
     b = np.asarray(render(scene, moved, RenderConfig(32, 32, pipeline="global")))
     assert np.abs(a - b).max() > 1e-3
+
+
+def test_render_supersample_resolve():
+    # USE_SUPERSAMPLING analog (ref: shader/desktop_frag.glsl:19-30): the
+    # supersampled render must equal an explicit hi-res render + box filter
+    scene = make_debug_scene()
+    cam = _debug_camera(32, 32)
+    cfg = RenderConfig(32, 32, pipeline="global", supersample=2)
+    ss = np.asarray(render(scene, cam, cfg))
+    hi = np.asarray(render(scene, cam, RenderConfig(64, 64, pipeline="global")))
+    manual = hi.reshape(32, 2, 32, 2, 4).mean(axis=(1, 3))
+    assert ss.shape == (32, 32, 4)
+    np.testing.assert_allclose(ss, manual, atol=1e-6)

@@ -204,3 +204,19 @@ def test_tiled_grads_with_cutoff_finite():
     g = jax.grad(loss)(scene)
     for name in ("means", "sh", "opacities", "log_scales", "quats"):
         assert np.isfinite(np.asarray(getattr(g, name))).all(), name
+
+
+def test_tiled_extent_tightening_lossless_low_opacity():
+    # render.prepare_splats shrinks binning AABBs to the sqrt(2*ln(alpha /
+    # cutoff))-sigma radius where the kernel's 1/256 discard can pass; splats
+    # with alpha <= cutoff generate no instances at all. Output must be
+    # bit-identical in behavior to the untightened global composite.
+    rng = np.random.default_rng(107)
+    scene = _random_scene(rng, n=48)
+    # opacities from deeply transparent (below the 1/256 cutoff) to opaque
+    opac = np.linspace(-7.0, 3.0, 48).astype(np.float32)
+    scene = dataclasses.replace(scene, opacities=jnp.asarray(opac))
+    cam = _camera()
+    a = np.asarray(render(scene, cam, TILED))
+    b = np.asarray(render(scene, cam, GLOBAL))
+    np.testing.assert_allclose(a, b, atol=3e-5)
