@@ -235,14 +235,14 @@ def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, basis_ref,
         #   sum_c dC_c * S_after_c
         #     = sum_c dC_c (C_fin_c - C_sofar_c) - cumsum(eff * sum_c dC_c c_c),
         # so only the dC-weighted color dot needs scanning.
-        dw = (d_alpha_out - d_tfin_out) * (t_fin * inv_om)
         colors = feats[:, F_R : F_R + 3]  # [B, 3]
         cdot = jnp.dot(colors, d_rgb_out, preferred_element_type=jnp.float32)  # [B, P]
-        sdot_fin = jnp.sum(
+        # [1, P] row constants folded together before touching [B, P] shapes
+        row = (d_alpha_out - d_tfin_out) * t_fin - jnp.sum(
             d_rgb_out * (res_ref[0, 0:3, :] - carry[1:4, :]), axis=0, keepdims=True
-        )  # [1, P]
+        )
         incl_dot = _scan_rows_add(eff * cdot)
-        dw = dw + t_before * cdot - (sdot_fin - incl_dot) * inv_om
+        dw = (incl_dot + row) * inv_om + t_before * cdot
 
         # exponent cotangent; w == 0 below the discard cutoff kills its
         # gradient automatically (subgradient of the discard)
@@ -269,14 +269,14 @@ def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, basis_ref,
         d_mx = -(2.0 * qa * gx + qb * gy)
         d_my = -(qb * gx + 2.0 * qc * gy)
 
-        # color grads: per-channel pixel reductions (cheap next to the scans)
-        dcols = [
-            jnp.sum(eff * d_rgb_out[ch : ch + 1, :], axis=1, keepdims=True)
-            for ch in range(3)
-        ]
+        # color grads: one [B, P] x [P, 3] MXU matmul instead of three
+        # VPU multiply+reduce chains over [B, P]
+        dcols = jnp.dot(
+            eff, jnp.transpose(d_rgb_out), preferred_element_type=jnp.float32
+        )  # [B, 3]
 
         dinst_ref[:, :] = jnp.concatenate(
-            [d_mx, d_my, d_qa, d_qb, d_qc, d_lna, dcols[0], dcols[1], dcols[2],
+            [d_mx, d_my, d_qa, d_qb, d_qc, d_lna, dcols,
              jnp.zeros((b, NUM_FEATS - 9), jnp.float32)],
             axis=1,
         )
@@ -371,6 +371,23 @@ def _cff_fwd(feats, bins, grid):
     return out, (inst, bins, out)
 
 
+def _blocked_cumsum(x, block: int = 512):
+    """Inclusive cumsum along axis 0 as two-level blocked prefix sums.
+
+    XLA's native cumsum over millions of rows runs ~log2(M) full-array
+    shift+add passes (~9 ms at [2M, 9] on v5e); computing block-local
+    cumsums (log2(block) passes) plus a tiny cross-block prefix cuts the
+    full-size passes to log2(block) + 1 (~1.5 ms).
+    """
+    m = x.shape[0]
+    if m % block != 0 or m <= block:
+        return jnp.cumsum(x, axis=0)
+    xb = x.reshape(m // block, block, *x.shape[1:])
+    local = jnp.cumsum(xb, axis=1)
+    carry = jnp.cumsum(local[:, -1], axis=0) - local[:, -1]  # excl block prefix
+    return (local + carry[:, None]).reshape(x.shape)
+
+
 def _cff_bwd(grid, residuals, dout):
     inst, bins, out = residuals
     d_inst = _bwd_call(
@@ -378,26 +395,29 @@ def _cff_bwd(grid, residuals, dout):
     )
     # sort transpose: pos-space grads -> enumeration order -> per-splat sums.
     # The nine live gradient columns ride the m_pos sort as payload operands:
-    # sorts stream HBM sequentially (~2.5 ms per operand at 4M rows) whereas
+    # sorts stream HBM sequentially (~0.3 ms per operand at 2M rows) whereas
     # the alternative — inverting the permutation and row-gathering d_inst —
-    # is a random-access sweep over a 273 MB array (~110 ms measured on v5e).
+    # is a random-access sweep over a 150 MB array (~110 ms measured on v5e).
     # Pad/sentinel slots carry m = emax and sort past the first emax entries;
     # their d rows are zeros anyway (the backward kernel zero-fills skipped
     # blocks).
     sorted_cols = lax.sort(
         (bins["m_pos"],) + tuple(d_inst[:, i] for i in range(9)), num_keys=1
     )
-    d_enum = jnp.stack([c[: grid.emax] for c in sorted_cols[1:]], axis=1)  # [emax, 9]
     # per-splat segment sums over the enumeration ranges. Segments are
     # CONTIGUOUS (offs is an exact exclusive cumsum of cnt, dropped splats
     # have cnt == 0), so start_i == end_{i-1} and one prefix gather + a
-    # first-difference replaces two gathers (random row gathers over a
-    # ~100 MB array cost ~19 ms each at 1M rows on v5e — they, not the sort
-    # or the cumsum, dominate this transpose).
-    cs = jnp.cumsum(d_enum, axis=0)
+    # first-difference replaces two gathers. The prefix matrix is split
+    # [emax, 8] + [emax, 1]: row gathers with rows <= 32 bytes take a fast
+    # path on v5e (~6 ns/index vs ~21 ns/index at 9..16 f32 columns).
+    cs8 = _blocked_cumsum(jnp.stack([c[: grid.emax] for c in sorted_cols[1:9]], axis=1))
+    cs1 = _blocked_cumsum(sorted_cols[9][: grid.emax])
     end = jnp.minimum(bins["seg_offs"] + bins["seg_cnt"], grid.emax)
-    g = jnp.take(cs, jnp.clip(end - 1, 0, grid.emax - 1), axis=0)
-    g = jnp.where((end > 0)[:, None], g, 0.0)  # [N, 9] cs at segment ends
+    at = jnp.clip(end - 1, 0, grid.emax - 1)
+    live = (end > 0)[:, None]
+    g8 = jnp.where(live, jnp.take(cs8, at, axis=0), 0.0)  # [N, 8]
+    g1 = jnp.where(live, jnp.take(cs1, at)[:, None], 0.0)  # [N, 1]
+    g = jnp.concatenate([g8, g1], axis=1)  # [N, 9] cs at segment ends
     d_rows = jnp.diff(g, axis=0, prepend=jnp.zeros((1, 9), g.dtype))  # [N, 9]
     d_feats = jnp.concatenate(
         [d_rows, jnp.zeros((d_rows.shape[0], NUM_FEATS - 9), d_rows.dtype)], axis=1

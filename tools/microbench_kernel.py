@@ -171,6 +171,78 @@ def main():
     for v in ("full", "noscan", "noexp", "scan_bf16", "nowork"):
         run_variant(v)
 
+    # ---- sub-blocked variant: one grid step processes SUB consecutive
+    # B-sub-blocks (alignment would need to grow to SUB*B; here we just time
+    # the kernel shape on the existing buffer — blocks may straddle tiles, so
+    # output values are wrong, but the work/step structure is identical).
+    for SUB in (2, 4):
+        BO = SUB * B
+
+        def kernel(bt_ref, bf_ref, bl_ref, inst_ref, out_ref):
+            j = pl.program_id(0)
+            t = bt_ref[j * SUB]
+            first = bf_ref[j * SUB] == 1
+
+            @pl.when(first)
+            def _():
+                out_ref[0] = jnp.concatenate(
+                    [jnp.zeros((4, P), jnp.float32), jnp.ones((1, P), jnp.float32),
+                     jnp.zeros((3, P), jnp.float32)], axis=0)
+
+            def body():
+                px, py = C._pixel_coords(t, grid)
+                for u in range(SUB):
+                    feats = inst_ref[u * B:(u + 1) * B, :]
+                    dx = px - feats[:, 0:1]
+                    dy = py - feats[:, 1:2]
+                    qh = (feats[:, 2:3] * dx * dx + feats[:, 3:4] * dx * dy
+                          + feats[:, 4:5] * dy * dy + feats[:, 5:6])
+                    w = jnp.exp(qh)
+                    w = jnp.where(qh > math.log(1 / 256), w, 0.0)
+                    one_minus = 1.0 - w
+                    excl = C._excl_cumprod_rows(one_minus)
+                    t_before = out_ref[0, 4:5, :] * excl
+                    eff = t_before * w
+                    block_prod = excl[B - 1:B, :] * one_minus[B - 1:B, :]
+                    t_new = out_ref[0, 4:5, :] * block_prod
+                    cmat = jnp.transpose(feats[:, 6:9])
+                    contrib = jnp.dot(cmat, eff, preferred_element_type=jnp.float32)
+                    out_ref[0, 0:3, :] = out_ref[0, 0:3, :] + contrib
+                    out_ref[0, 3:4, :] = 1.0 - t_new
+                    out_ref[0, 4:5, :] = t_new
+
+            pl.when(bl_ref[j * SUB] == 1)(body)
+
+        nb2 = grid.num_blocks // SUB
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nb2,),
+            in_specs=[pl.BlockSpec((BO, C.NUM_FEATS), lambda j, a, b, c: (j, 0))],
+            out_specs=pl.BlockSpec((1, C.OUT_ROWS, P),
+                                   lambda j, a, b, c, SUB=SUB: (a[j * SUB], 0, 0)),
+        )
+        call = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((grid.num_tiles, C.OUT_ROWS, P), jnp.float32),
+        )
+        inst2 = inst[: nb2 * BO]
+
+        def k_steps(i, k):
+            def body_fn(_, carry):
+                out = call(bt, bf, bl, i + carry * 1e-30)
+                return out[0, 0, 0] * 1e-30
+
+            return lax.fori_loop(0, k, body_fn, jnp.float32(0.0))
+
+        runner = jax.jit(k_steps)
+        t0 = time.time()
+        float(runner(inst2, jnp.int32(1)))
+        compile_s = time.time() - t0
+        t_single = min(_timeit(lambda: float(runner(inst2, jnp.int32(1)))) for _ in range(2))
+        t_k = min(_timeit(lambda: float(runner(inst2, jnp.int32(args.iters)))) for _ in range(2))
+        dt = (t_k - t_single) / (args.iters - 1)
+        print(f"sub{SUB:d}       {dt * 1e3:8.2f} ms   (compile {compile_s:.1f}s)", flush=True)
+
 
 def _timeit(f):
     t0 = time.perf_counter()

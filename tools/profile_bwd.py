@@ -104,7 +104,10 @@ def main():
     dout = jnp.ones_like(out) * 1e-3
 
     def chain(c, x):
-        return (x.reshape(-1)[0] + c * 1e-30).astype(jnp.float32) * 1e-30 + c * 1e-30
+        # reduce over EVERYTHING so XLA cannot dead-code-eliminate any column
+        # of the timed computation (x[0]-style chaining lets whole sort
+        # payloads / cumsum columns vanish)
+        return (jnp.sum(x.astype(jnp.float32)) * 1e-30 + c * 1e-30).astype(jnp.float32)
 
     timed(
         "fwd kernel only",
@@ -131,6 +134,58 @@ def main():
             jax.vjp(lambda ff: C.composite_from_feats(ff, bins, grid), f + c)[1](dout)[0],
         ),
         feats,
+    )
+
+    # ---- transpose pieces (the _cff_bwd tail after the kernel) ----
+    d_inst = jnp.ones((grid.mcap, C.NUM_FEATS), jnp.float32)
+
+    def transpose_tail(c, d):
+        d = d + c
+        sorted_cols = lax.sort(
+            (bins["m_pos"],) + tuple(d[:, i] for i in range(9)), num_keys=1
+        )
+        d_enum = jnp.stack([col[: grid.emax] for col in sorted_cols[1:]], axis=1)
+        cs = jnp.cumsum(d_enum, axis=0)
+        end = jnp.minimum(bins["seg_offs"] + bins["seg_cnt"], grid.emax)
+        g = jnp.take(cs, jnp.clip(end - 1, 0, grid.emax - 1), axis=0)
+        g = jnp.where((end > 0)[:, None], g, 0.0)
+        d_rows = jnp.diff(g, axis=0, prepend=jnp.zeros((1, 9), g.dtype))
+        return chain(c, d_rows)
+
+    timed("transpose tail (sort+cumsum+diff)", transpose_tail, d_inst)
+
+    def sort_only(c, d):
+        d = d + c
+        sorted_cols = lax.sort(
+            (bins["m_pos"],) + tuple(d[:, i] for i in range(9)), num_keys=1
+        )
+        return chain(c, sorted_cols[1])
+
+    timed("  10-operand sort only", sort_only, d_inst)
+
+    d_enum0 = jnp.ones((grid.emax, 9), jnp.float32)
+
+    def cumsum_only(c, d):
+        return chain(c, jnp.cumsum(d + c, axis=0))
+
+    timed("  [emax,9] cumsum only", cumsum_only, d_enum0)
+
+    # ---- prepare (projection/SH/sort) VJP ----
+    def prep_loss(s):
+        d = prepare_splats(s, cam, config)
+        return (d["mean2d"].sum() + d["conic"].sum() + d["rgb"].sum()
+                + d["alpha"].sum())
+
+    timed(
+        "prepare fwd+vjp",
+        lambda c, s: chain(
+            c,
+            jax.grad(prep_loss)(
+                type(s)(means=s.means + c, sh=s.sh, opacities=s.opacities,
+                        log_scales=s.log_scales, quats=s.quats)
+            ).means,
+        ),
+        scene,
     )
 
 
