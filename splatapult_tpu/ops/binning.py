@@ -23,12 +23,13 @@ the full 32-bit radix sort of every visible splat (ref: src/splatrenderer.cpp:
    instance buffer: no scatter ever materializes it, and block metadata
    (owning tile, first-of-tile) falls out of strided slices.
 
-Why this shape: on TPU, XLA scatters and gathers cost ~6-8 ns per *index*
-(independent of row width) while sorts move data at ~0.6-2 ns/element — an
-order of magnitude cheaper. The pipeline therefore uses exactly one scatter
-(the segment-start marks, with unique indices) and two row gathers (the
-per-instance rect table and the feature rows), and pushes every other
-reordering into `lax.sort` (see tools/microbench2.py for the measurements).
+Why this shape: on TPU, XLA scatters and gathers cost ~5-9 ns per *index*
+(independent of row width) while sorts and 1-D scans move data at ~0.6-2
+ns/element — an order of magnitude cheaper. The pipeline therefore uses two
+unique-index 1-D scatters (the packed segment-start columns, forward-filled
+by 1-D cummaxes) and one row gather (the feature rows), and pushes every
+other reordering into `lax.sort` (see tools/microbench_bin2.py for the
+measurements).
 
 Overflow: if the enumeration capacity ``emax`` is exceeded, whole farthest
 splats are dropped (their counts zeroed before enumeration) so the sorted
@@ -90,30 +91,17 @@ class TileGrid:
         )
 
 
-def _rect_histogram(x0, x1, r0, r1, valid, grid: TileGrid):
-    """Exact per-tile overlap counts without enumerating instances.
+def _bincount_by_sort(ids, num_bins: int):
+    """Exact bincount of int ids in [0, num_bins] via sort + searchsorted.
 
-    Corner-delta trick: each clipped rect [r0, r1) x [x0, x1) contributes
-    +1 at (r0, x0), +1 at (r1, x1), -1 at (r0, x1), -1 at (r1, x0) on a
-    (ty+1, tx+1) delta grid; a 2D inclusive cumsum recovers the counts.
-    The delta accumulation itself is sort-based (bincount-by-sort): XLA
-    scatter-add with colliding indices is far slower than a sort.
+    XLA scatter-add with colliding indices serializes on TPU; an unstable
+    1-key sort streams at HBM rate and the per-bin boundaries fall out of a
+    tiny searchsorted (num_bins queries over the sorted array). Values equal
+    to ``num_bins`` act as an ignored overflow/sentinel bucket.
     """
-    txp, typ = grid.tiles_x + 1, grid.tiles_y + 1
-    nbins = txp * typ
-    sent = jnp.int32(nbins)  # out-of-range sentinel for invalid splats
-
-    def ids(r, x):
-        return jnp.where(valid, r * txp + x, sent)
-
-    pos_ids = jnp.concatenate([ids(r0, x0), ids(r1, x1)])
-    neg_ids = jnp.concatenate([ids(r0, x1), ids(r1, x0)])
-    edges = jnp.arange(nbins + 1, dtype=jnp.int32)
-    pos_b = jnp.searchsorted(jnp.sort(pos_ids), edges)
-    neg_b = jnp.searchsorted(jnp.sort(neg_ids), edges)
-    delta = ((pos_b[1:] - pos_b[:-1]) - (neg_b[1:] - neg_b[:-1])).reshape(typ, txp)
-    counts = jnp.cumsum(jnp.cumsum(delta, axis=0), axis=1)
-    return counts[: grid.tiles_y, : grid.tiles_x].reshape(-1)  # [T]
+    sorted_ids = lax.sort(ids, is_stable=False)
+    edges = jnp.searchsorted(sorted_ids, jnp.arange(num_bins + 1, dtype=jnp.int32))
+    return edges[1:] - edges[:-1]
 
 
 def bin_splats(mean2d, extent, grid: TileGrid):
@@ -170,30 +158,65 @@ def bin_splats(mean2d, extent, grid: TileGrid):
     overflow = (cnt_raw.sum() - total).astype(jnp.int32)
     kept = keep & (cnt > 0)
 
-    # exact per-tile counts (truncation-aware) -> exact alignment padding
-    tile_count = _rect_histogram(
-        x0, x1, r0, r1, kept, grid
-    )
-    pad_t = (-tile_count) % b  # in [0, b)
-
     # ---- enumeration slots -> (splat, tile-within-rect) ----
-    # scatter each kept splat's index at its first slot (unique, mostly-sorted
-    # indices -> XLA's fast scatter path) and forward-fill with a cummax
+    # Forward-fill the per-splat fields with packed 1-D scatter+cummax columns:
+    # each field rides in the low bits of a word whose high bits are strictly
+    # increasing over kept splats (the segment start / the splat id), so the
+    # running max at slot m is the word of the last splat whose segment starts
+    # at or before m. Two 1-D scatters + two 1-D cummaxes (~8.5 ms at 2M slots
+    # on v5e) beat one scatter + one [emax, 4] row gather (~17 ms): random
+    # gathers cost ~5-9 ns per index while 1-D scans stream near HBM rate.
+    # (An [emax, 4] row-wise cummax fill was also tried and is far SLOWER —
+    # narrow trailing dims waste 124/128 lanes; 1-D columns are the fast shape.
+    # See tools/microbench_bin2.py.)
     m = jnp.arange(emax, dtype=jnp.int32)
     first_slot = jnp.where(kept, offs, emax)  # emax = dropped
-    marks = jnp.full((emax,), -1, jnp.int32).at[first_slot].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True
-    )
-    s = jnp.clip(lax.cummax(marks, axis=0), 0, max(n - 1, 0)).astype(jnp.int32)
-    # one packed row-gather for all per-splat fields (gather cost is per index,
-    # not per byte: one [emax, 4] row gather ~= one 1-D gather)
-    table = jnp.stack([offs, x0, r0, jnp.maximum(nx, 1)], axis=1)  # [N, 4]
-    g = jnp.take(table, s, axis=0)  # [emax, 4]
-    j = m - g[:, 0]
+    fbt = max(int(num_tiles).bit_length(), 1)  # bits for tile0
+    fbn = max(int(tx_n).bit_length(), 1)  # bits for nx
+    packable = (emax << fbt) < 2**32 and (n << fbn) < 2**31
     valid_m = m < total
-    tile = (g[:, 2] + j // g[:, 3]) * tx_n + (g[:, 1] + j % g[:, 3])
+    if packable:
+        tile0 = r0 * tx_n + x0  # first covered tile of the rect, < num_tiles
+        col_a = (first_slot.astype(jnp.uint32) << fbt) | tile0.astype(jnp.uint32)
+        col_b = (jnp.arange(n, dtype=jnp.int32) << fbn) | jnp.maximum(nx, 1)
+        fill_a = lax.cummax(
+            jnp.zeros((emax,), jnp.uint32).at[first_slot].set(
+                col_a, mode="drop", unique_indices=True
+            ),
+            axis=0,
+        )
+        fill_b = lax.cummax(
+            jnp.zeros((emax,), jnp.int32).at[first_slot].set(
+                col_b, mode="drop", unique_indices=True
+            ),
+            axis=0,
+        )
+        g_offs = (fill_a >> fbt).astype(jnp.int32)
+        g_tile0 = (fill_a & ((1 << fbt) - 1)).astype(jnp.int32)
+        s = fill_b >> fbn
+        g_nx = jnp.maximum(fill_b & ((1 << fbn) - 1), 1)
+        j = m - g_offs
+        tile = g_tile0 + (j // g_nx) * tx_n + j % g_nx
+    else:
+        # fallback: scatter splat ids, cummax, one [N, 4] row gather of the
+        # rect table (packing bits would overflow at this emax/tile count)
+        marks = jnp.full((emax,), -1, jnp.int32).at[first_slot].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True
+        )
+        s = jnp.clip(lax.cummax(marks, axis=0), 0, max(n - 1, 0)).astype(jnp.int32)
+        table = jnp.stack([offs, x0, r0, jnp.maximum(nx, 1)], axis=1)  # [N, 4]
+        g = jnp.take(table, s, axis=0)  # [emax, 4]
+        j = m - g[:, 0]
+        tile = (g[:, 2] + j // g[:, 3]) * tx_n + (g[:, 1] + j % g[:, 3])
     tile = jnp.where(valid_m, tile, num_tiles)  # sentinel sorts to the end
     s = jnp.where(valid_m, s, n)
+
+    # exact per-tile counts (truncation-aware) -> exact alignment padding.
+    # Bincount of the enumerated tile ids by sort (the sentinel bucket is
+    # dropped); replaces a corner-delta rect histogram whose two 2N-id sorts
+    # cost ~4x this one emax sort.
+    tile_count = _bincount_by_sort(tile, num_tiles)
+    pad_t = (-tile_count) % b  # in [0, b)
 
     # ---- alignment padding entries, exact per tile ----
     # [T, b] candidates; column < pad_t are real pads of that tile

@@ -154,6 +154,31 @@ def main():
 
     timed("transpose tail (sort+cumsum+diff)", transpose_tail, d_inst)
 
+    def transpose_tail_new(c, d):
+        d = d + c
+        sorted_cols = lax.sort(
+            (bins["m_pos"],) + tuple(d[:, i] for i in range(9)), num_keys=1
+        )
+        cs8 = C._blocked_cumsum(
+            jnp.stack([col[: grid.emax] for col in sorted_cols[1:9]], axis=1)
+        )
+        cs1 = C._blocked_cumsum(sorted_cols[9][: grid.emax])
+        end = jnp.minimum(bins["seg_offs"] + bins["seg_cnt"], grid.emax)
+        at = jnp.clip(end - 1, 0, grid.emax - 1)
+        live_g = (end > 0)[:, None]
+        g8 = jnp.where(live_g, jnp.take(cs8, at, axis=0), 0.0)
+        g1 = jnp.where(live_g, jnp.take(cs1, at)[:, None], 0.0)
+        g = jnp.concatenate([g8, g1], axis=1)
+        d_rows = jnp.diff(g, axis=0, prepend=jnp.zeros((1, 9), g.dtype))
+        return chain(c, d_rows)
+
+    timed("transpose tail NEW (as shipped)", transpose_tail_new, d_inst)
+
+    def gather_only(c, f):
+        return chain(c, jnp.take(f + c, bins["inst_splat"], axis=0))
+
+    timed("  instance row gather only", gather_only, feats)
+
     def sort_only(c, d):
         d = d + c
         sorted_cols = lax.sort(
