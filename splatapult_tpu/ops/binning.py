@@ -5,10 +5,16 @@ compaction with an atomic counter (ref: shader/presort_compute.glsl:50-55) and
 the full 32-bit radix sort of every visible splat (ref: src/splatrenderer.cpp:
 153-312, shader/multi_radixsort*.glsl) — with a TPU/XLA-native formulation:
 
-1. Splats arrive already globally sorted front-to-back (one length-N sort in
-   render.prepare_splats). Binning only has to group duplicates by tile while
-   *preserving* that order, so a single stable sort by tile id suffices — the
-   depth bits of the reference's radix key are unnecessary.
+1. Depth ordering happens *inside* the one binning sort: per-instance view
+   depth rides as a second sort key (full f32, no quantization — the reference
+   quantizes depth into its 32-bit radix keys and saw artifacts at 24 bits,
+   ref: src/splatrenderer.cpp:165-169), with descending splat index as the
+   tie-break (the reference's stable back-to-front draw order implies
+   higher-index-in-front under equal depth, ref: shader/presort_compute.glsl:
+   52-53). A multi-key TPU sort costs ~1.2 ms over single-key at 2M rows —
+   far cheaper than globally depth-sorting the splats and permuting every
+   per-splat column before binning (legacy mode: ``depth=None`` assumes the
+   caller pre-sorted front-to-back and groups by tile id alone).
 2. Dynamic instance counts are handled with a static-size instance buffer:
    enumeration slots map back to (splat, tile-within-rect) pairs via a
    scatter-at-segment-starts + cummax forward fill. No atomics, no
@@ -104,13 +110,17 @@ def _bincount_by_sort(ids, num_bins: int):
     return edges[1:] - edges[:-1]
 
 
-def bin_splats(mean2d, extent, grid: TileGrid):
+def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
     """Build the (tile, depth)-ordered instance buffer and flat block work-list.
 
     Args (all non-differentiable index plumbing; callers stop_gradient):
-      mean2d [N, 2] screen centers (gl convention, +y up), front-to-back order
+      mean2d [N, 2] screen centers (gl convention, +y up); front-to-back order
+        REQUIRED iff ``depth`` is None
       extent [N, 2] tight AABB half-extents (rx, ry) in px, or [N] isotropic
         radius (both 0 = culled)
+      depth [N] view depth per splat (any splat order): rides the tile sort as
+        a second key so callers need not pre-sort; ties break by descending
+        splat index (reference parity, see module docstring)
 
     Returns dict:
       inst_splat [mcap] int32 — splat index per aligned instance slot (N = null)
@@ -147,9 +157,10 @@ def bin_splats(mean2d, extent, grid: TileGrid):
     ny = jnp.maximum(r1 - r0, 0)
     cnt_raw = jnp.where(valid, nx * ny, 0).astype(jnp.int32)
 
-    # overflow: drop whole splats from the back (they are farthest — the
-    # least visible) so every kept splat's rect stays complete and the
-    # histogram/padding stay exact
+    # overflow: drop whole splats past the capacity (in input order — the
+    # farthest splats when the caller pre-sorted, arbitrary otherwise) so
+    # every kept splat's rect stays complete and the histogram/padding stay
+    # exact
     offs_raw = jnp.cumsum(cnt_raw) - cnt_raw
     keep = offs_raw + cnt_raw <= emax
     cnt = jnp.where(keep, cnt_raw, 0)
@@ -224,18 +235,34 @@ def bin_splats(mean2d, extent, grid: TileGrid):
     pad_tile_grid = lax.broadcasted_iota(jnp.int32, (num_tiles, b), 0)
     pad_tile = jnp.where(pad_col < pad_t[:, None], pad_tile_grid, num_tiles).reshape(-1)
 
-    # ---- ONE stable sort by tile: real entries keep front-to-back depth
-    # order (enum order is splat-major over depth-sorted splats); pads land at
-    # each tile's end (they come after all real entries in input order);
-    # sentinels land at the very end. Every tile segment is now exactly
-    # ceil(count/b)*b long, so segment starts are b-aligned and the sorted
-    # order IS the block-aligned instance buffer.
+    # ---- ONE sort by tile (+ depth): pads land at each tile's end (+inf
+    # depth / after all real entries in input order); sentinels land at the
+    # very end. Every tile segment is now exactly ceil(count/b)*b long, so
+    # segment starts are b-aligned and the sorted order IS the block-aligned
+    # instance buffer.
     tile_all = jnp.concatenate([tile, pad_tile])
     s_all = jnp.concatenate([s, jnp.full((pad_cap,), n, jnp.int32)])
     m_all = jnp.concatenate([m, jnp.full((pad_cap,), emax, jnp.int32)])
-    tile_sorted, inst_splat, m_pos = lax.sort(
-        (tile_all, s_all, m_all), num_keys=1, is_stable=True
-    )
+    if depth is not None:
+        # per-instance depth + descending-splat-index tie-break as extra sort
+        # keys; -s doubles as the inst_splat payload (keys are fully unique —
+        # one instance per (splat, tile) — so the sort may be unstable)
+        depth_p = jnp.concatenate(
+            [jnp.asarray(depth, jnp.float32), jnp.full((1,), jnp.inf, jnp.float32)]
+        )
+        dep_all = jnp.concatenate(
+            [jnp.take(depth_p, s), jnp.full((pad_cap,), jnp.inf, jnp.float32)]
+        )
+        tile_sorted, _, neg_s, m_pos = lax.sort(
+            (tile_all, dep_all, -s_all, m_all), num_keys=3, is_stable=False
+        )
+        inst_splat = -neg_s
+    else:
+        # input pre-sorted front-to-back: enum order is depth order; a stable
+        # tile sort preserves it
+        tile_sorted, inst_splat, m_pos = lax.sort(
+            (tile_all, s_all, m_all), num_keys=1, is_stable=True
+        )
 
     # ---- block metadata: free strided slices of the sorted tile ids ----
     nb = grid.num_blocks

@@ -200,7 +200,8 @@ def _fwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, out_ref):
 
 
 def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, basis_ref,
-                res_ref, dout_ref, dinst_ref, carry):
+                res_ref, dout_ref, *rest):
+    *dcol_refs, carry = rest
     j = pl.program_id(0)
     t = bt_ref[j]
     first = bf_ref[j] == 1
@@ -236,7 +237,11 @@ def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, basis_ref,
         #     = sum_c dC_c (C_fin_c - C_sofar_c) - cumsum(eff * sum_c dC_c c_c),
         # so only the dC-weighted color dot needs scanning.
         colors = feats[:, F_R : F_R + 3]  # [B, 3]
-        cdot = jnp.dot(colors, d_rgb_out, preferred_element_type=jnp.float32)  # [B, P]
+        # [B, 1] x [1, P] broadcasts: a K=3 matmul would pad K to the full
+        # MXU tile and serialize behind the (much larger) triangular scan
+        cdot = (colors[:, 0:1] * d_rgb_out[0:1, :]
+                + colors[:, 1:2] * d_rgb_out[1:2, :]
+                + colors[:, 2:3] * d_rgb_out[2:3, :])  # [B, P]
         # [1, P] row constants folded together before touching [B, P] shapes
         row = (d_alpha_out - d_tfin_out) * t_fin - jnp.sum(
             d_rgb_out * (res_ref[0, 0:3, :] - carry[1:4, :]), axis=0, keepdims=True
@@ -275,11 +280,16 @@ def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, basis_ref,
             eff, jnp.transpose(d_rgb_out), preferred_element_type=jnp.float32
         )  # [B, 3]
 
-        dinst_ref[:, :] = jnp.concatenate(
-            [d_mx, d_my, d_qa, d_qb, d_qc, d_lna, dcols,
-             jnp.zeros((b, NUM_FEATS - 9), jnp.float32)],
-            axis=1,
-        )
+        # nine SEPARATE [1, B] outputs (column-major by construction): the
+        # backward tail sorts each gradient column as a 1-D payload, and
+        # slicing columns out of a [mcap, 16] row buffer costs a full strided
+        # relayout pass per column
+        for ref, col in zip(
+            dcol_refs,
+            [d_mx, d_my, d_qa, d_qb, d_qc, d_lna,
+             dcols[:, 0:1], dcols[:, 1:2], dcols[:, 2:3]],
+        ):
+            ref[:, :] = jnp.transpose(col)
 
         # advance carries past this block (block totals are plain reductions,
         # not scans)
@@ -296,8 +306,9 @@ def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, basis_ref,
 
     @pl.when(jnp.logical_not(run))
     def _():
-        # skipped blocks (padding or early-stopped) still own their d_inst slice
-        dinst_ref[:, :] = jnp.zeros((b, NUM_FEATS), jnp.float32)
+        # skipped blocks (padding or early-stopped) still own their d slices
+        for ref in dcol_refs:
+            ref[:, :] = jnp.zeros((1, b), jnp.float32)
 
 
 def _fwd_call(inst, block_tile, block_first, block_live, grid: TileGrid):
@@ -319,7 +330,12 @@ def _fwd_call(inst, block_tile, block_first, block_live, grid: TileGrid):
     )(block_tile, block_first, block_live, inst)
 
 
+NUM_GRAD_COLS = 9  # d_mx, d_my, d_qa, d_qb, d_qc, d_lna, dr, dg, db
+
+
 def _bwd_call(inst, block_tile, block_first, block_live, out_res, dout, grid: TileGrid):
+    """-> tuple of 9 per-instance gradient columns, each [1, mcap]
+    (flattens to [mcap] in instance order)."""
     p = grid.tile_pixels
     kernel = functools.partial(_bwd_kernel, grid)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -331,14 +347,20 @@ def _bwd_call(inst, block_tile, block_first, block_live, out_res, dout, grid: Ti
             pl.BlockSpec((1, OUT_ROWS, p), lambda j, bt, bf, bl: (bt[j], 0, 0)),
             pl.BlockSpec((1, OUT_ROWS, p), lambda j, bt, bf, bl: (bt[j], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((grid.block, NUM_FEATS), lambda j, bt, bf, bl: (j, 0)),
+        out_specs=[
+            pl.BlockSpec((1, grid.block), lambda j, bt, bf, bl: (0, j))
+            for _ in range(NUM_GRAD_COLS)
+        ],
         scratch_shapes=[pltpu.VMEM((4, p), jnp.float32)],
     )
     basis = jnp.asarray(moment_basis(grid))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((grid.mcap, NUM_FEATS), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, grid.mcap), jnp.float32)
+            for _ in range(NUM_GRAD_COLS)
+        ],
         interpret=_interpret(),
     )(block_tile, block_first, block_live, inst, basis, out_res, dout)
 
@@ -402,7 +424,7 @@ def _cff_bwd(grid, residuals, dout):
     # their d rows are zeros anyway (the backward kernel zero-fills skipped
     # blocks).
     sorted_cols = lax.sort(
-        (bins["m_pos"],) + tuple(d_inst[:, i] for i in range(9)), num_keys=1
+        (bins["m_pos"],) + tuple(c.reshape(-1) for c in d_inst), num_keys=1
     )
     # per-splat segment sums over the enumeration ranges. Segments are
     # CONTIGUOUS (offs is an exact exclusive cumsum of cnt, dropped splats

@@ -59,6 +59,7 @@ def composite_tiled(sorted_splats, config, return_aux: bool = False):
         jax.lax.stop_gradient(mean2d),
         jax.lax.stop_gradient(sorted_splats["extent"]),
         grid,
+        depth=jax.lax.stop_gradient(sorted_splats["depth"]),
     )
 
     feats = pack_features(

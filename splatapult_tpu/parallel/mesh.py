@@ -5,9 +5,10 @@ everything here is new design required by the BASELINE north star:
 
 - **Tile parallelism** (the data-parallel axis of this domain): the image's
   tile *rows* are sharded across the ``tiles`` mesh axis. Each chip runs the
-  identical jitted pipeline on its horizontal band — projection and depth
-  sorting are computed replicated (cheap, O(N)), binning and compositing touch
-  only the chip's own band (the dominant cost, O(instances * pixels)).
+  identical jitted pipeline on its horizontal band — projection/SH are
+  computed replicated (cheap, O(N)); binning, the in-sort depth ordering and
+  compositing touch only the chip's own band (the dominant cost,
+  O(instances * pixels)).
 - **View parallelism**: camera batches shard over a ``views`` axis
   (the scaled-up analog of the reference's stereo pair, src/app.cpp:603-607).
 - **Gradients**: parameter gradients are partial per shard and completed by an
@@ -90,9 +91,9 @@ def render_sharded(scene, camera: Camera, config: RenderConfig, mesh: Mesh) -> j
     num_shards = mesh.shape["tiles"]
 
     def shard_fn(scene, camera):
-        sorted_splats = prepare_splats(scene, camera, config)
+        splats = prepare_splats(scene, camera, config, sort=False)
         d = lax.axis_index("tiles")
-        return _composite_band(sorted_splats, d, num_shards, config)
+        return _composite_band(splats, d, num_shards, config)
 
     out = jax.shard_map(
         shard_fn,
@@ -110,9 +111,9 @@ def render_batch_sharded(scene, cameras: Camera, config: RenderConfig, mesh: Mes
 
     def shard_fn(scene, cameras):
         def one_view(cam):
-            sorted_splats = prepare_splats(scene, cam, config)
+            splats = prepare_splats(scene, cam, config, sort=False)
             d = lax.axis_index("tiles")
-            return _composite_band(sorted_splats, d, num_shards, config)
+            return _composite_band(splats, d, num_shards, config)
 
         return jax.vmap(one_view)(cameras)
 
@@ -173,8 +174,8 @@ def _sharded_value_and_grad(scene, cameras: Camera, targets, config: RenderConfi
         d = lax.axis_index("tiles")
 
         def one_view(cam, tgt):
-            sorted_splats = prepare_splats(scene, cam, config)
-            band = _composite_band(sorted_splats, d, num_shards, config)
+            splats = prepare_splats(scene, cam, config, sort=False)
+            band = _composite_band(splats, d, num_shards, config)
             # crop the padded rows out of the loss on the last band
             row0 = d * band_h
             rows = row0 + jnp.arange(band_h)

@@ -134,11 +134,17 @@ def _permute_rows_bwd(inv_order, g):
 _permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
-def prepare_splats(scene: GaussianScene, camera: Camera, config: RenderConfig):
-    """Shared front end: bake + project + SH + depth sort (front-to-back).
+def prepare_splats(scene: GaussianScene, camera: Camera, config: RenderConfig,
+                   sort: bool = True):
+    """Shared front end: bake + project + SH (+ optional global depth sort).
 
-    Returns per-splat arrays sorted front-to-back with culled splats pushed to
-    the back carrying zero alpha, plus the survivor mask (sorted).
+    With ``sort=True`` returns per-splat arrays sorted front-to-back with
+    culled splats pushed to the back carrying zero alpha — required by the
+    global composite, which walks splats in array order. The tiled pipeline
+    passes ``sort=False``: ops/binning.bin_splats orders instances by a
+    per-instance depth sort key instead, which saves the [N] argsort AND the
+    [N, 14]-column permute + its gather-transpose VJP (~15 ms at 1M splats
+    on v5e) from this hot path.
     """
     means = scene.means
     cov3 = transforms.bake_covariance(scene.quats, scene.log_scales)
@@ -152,18 +158,6 @@ def prepare_splats(scene: GaussianScene, camera: Camera, config: RenderConfig):
     rgb = eval_sh_radiance(scene.sh, view_dirs(means, camera.eye), config.sh_degree)
     if config.srgb_radiance_to_linear:
         rgb = transforms.srgb_to_linear(rgb)
-
-    # Front-to-back order: ascending view depth; culled splats get +inf keys so
-    # they land at the end (static-shape replacement for the reference's atomic
-    # compaction, ref: shader/presort_compute.glsl:50-55). The reference's
-    # stable radix sort draws equal-depth splats back-to-front in submission
-    # order (ref: shader/presort_compute.glsl:52-53), so the equivalent
-    # front-to-back order must break ties by *descending* index.
-    key = jnp.where(proj.mask, proj.depth, jnp.inf)
-    n = key.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    _, _, order = jax.lax.sort((key, -idx, idx), num_keys=2)
-    inv_order = jnp.zeros((n,), jnp.int32).at[order].set(idx)
 
     alpha_eff = jnp.where(proj.mask, alpha, 0.0)
     extent = proj.extent
@@ -182,11 +176,35 @@ def prepare_splats(scene: GaussianScene, camera: Camera, config: RenderConfig):
         )
         shrink = jnp.sqrt(jnp.clip(k2, 0.0, EXTENT_SIGMA * EXTENT_SIGMA)) / EXTENT_SIGMA
         extent = extent * jax.lax.stop_gradient(shrink)[:, None]
+    ng = jax.lax.stop_gradient
+    if not sort:
+        return {
+            "mean2d": proj.mean2d,
+            "conic": proj.conic,
+            "rgb": rgb,
+            "alpha": alpha_eff,
+            "depth": ng(proj.depth),
+            "radius": ng(proj.radius),
+            "extent": ng(extent),
+            "mask": ng(proj.mask),
+        }
+
+    # Front-to-back order: ascending view depth; culled splats get +inf keys so
+    # they land at the end (static-shape replacement for the reference's atomic
+    # compaction, ref: shader/presort_compute.glsl:50-55). The reference's
+    # stable radix sort draws equal-depth splats back-to-front in submission
+    # order (ref: shader/presort_compute.glsl:52-53), so the equivalent
+    # front-to-back order must break ties by *descending* index.
+    key = jnp.where(proj.mask, proj.depth, jnp.inf)
+    n = key.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, _, order = jax.lax.sort((key, -idx, idx), num_keys=2)
+    inv_order = jnp.zeros((n,), jnp.int32).at[order].set(idx)
+
     # ONE packed row permutation for every per-splat output (a single [N, 14]
     # gather + a gather-transpose VJP, instead of several independent takes
     # whose VJPs would each scatter-add). Row gathers cost per index, not per
     # byte, so the non-differentiable plumbing columns ride along for free.
-    ng = jax.lax.stop_gradient
     packed = jnp.concatenate(
         [proj.mean2d, proj.conic, rgb, alpha_eff[:, None],
          ng(proj.depth)[:, None], ng(proj.radius)[:, None], ng(extent),
@@ -284,16 +302,16 @@ def render(scene: GaussianScene, camera: Camera, config: RenderConfig) -> jax.Ar
         # ref: shader/desktop_frag.glsl:22-29)
         h, w = config.height, config.width
         return img.reshape(h, ss, w, ss, 4).mean(axis=(1, 3))
-    sorted_splats = prepare_splats(scene, camera, config)
     pipeline = config.pipeline
     if pipeline == "auto":
         pipeline = "tiled" if scene.means.shape[0] >= 4096 else "global"
     if pipeline == "global":
-        return _composite_global(sorted_splats, config)
+        return _composite_global(prepare_splats(scene, camera, config), config)
     elif pipeline == "tiled":
         from splatapult_tpu.ops.tiled import composite_tiled
 
-        return composite_tiled(sorted_splats, config)
+        # unsorted prepare: the binning sort carries the depth key instead
+        return composite_tiled(prepare_splats(scene, camera, config, sort=False), config)
     raise ValueError(f"unknown pipeline {config.pipeline!r}")
 
 

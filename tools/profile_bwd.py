@@ -103,11 +103,14 @@ def main():
 
     dout = jnp.ones_like(out) * 1e-3
 
-    def chain(c, x):
+    def chain(c, *xs):
         # reduce over EVERYTHING so XLA cannot dead-code-eliminate any column
         # of the timed computation (x[0]-style chaining lets whole sort
         # payloads / cumsum columns vanish)
-        return (jnp.sum(x.astype(jnp.float32)) * 1e-30 + c * 1e-30).astype(jnp.float32)
+        tot = c * 1e-30
+        for x in xs:
+            tot = tot + jnp.sum(x.astype(jnp.float32)) * 1e-30
+        return tot.astype(jnp.float32)
 
     timed(
         "fwd kernel only",
@@ -122,8 +125,8 @@ def main():
         "bwd kernel only",
         lambda c, i: chain(
             c,
-            C._bwd_call(i + c, bins["block_tile"], bins["block_first"],
-                        bins["block_live"], out, dout, grid),
+            *C._bwd_call(i + c, bins["block_tile"], bins["block_first"],
+                         bins["block_live"], out, dout, grid),
         ),
         inst,
     )
