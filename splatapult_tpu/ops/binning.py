@@ -62,6 +62,10 @@ class TileGrid:
     mcap: int  # aligned instance buffer capacity (multiple of block)
     alpha_cutoff: float = 1.0 / 256.0
     early_stop_eps: float = 0.0
+    # accumulation dtype for the composite output rows ("float32"/"bfloat16"),
+    # the reference's --fp32/--fp16 offscreen-FBO knob (ref: src/app.cpp:
+    # 1000-1035); per-block math stays f32 either way
+    accum_dtype: str = "float32"
 
     @property
     def tiles_x(self) -> int:
@@ -85,15 +89,17 @@ class TileGrid:
 
     @staticmethod
     def create(width, height, num_splats, tile_size=32, block=128,
-               max_instance_mult=6, alpha_cutoff=1.0 / 256.0, early_stop_eps=0.0):
+               max_instance_mult=6, alpha_cutoff=1.0 / 256.0, early_stop_eps=0.0,
+               accum_dtype="float32"):
         assert block & (block - 1) == 0, "block must be a power of two"
+        assert accum_dtype in ("float32", "bfloat16"), accum_dtype
         emax = max(4096, -(-int(max_instance_mult * max(num_splats, 1)) // 4096) * 4096)
         tiles = (-(-width // tile_size)) * (-(-height // tile_size))
         mcap = emax + tiles * block  # worst-case alignment padding: < block per tile
         return TileGrid(
             width=width, height=height, tile_size=tile_size, block=block,
             emax=emax, mcap=mcap, alpha_cutoff=alpha_cutoff,
-            early_stop_eps=early_stop_eps,
+            early_stop_eps=early_stop_eps, accum_dtype=accum_dtype,
         )
 
 

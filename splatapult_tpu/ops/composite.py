@@ -69,6 +69,13 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _acc_dtype(grid: TileGrid):
+    """Accumulation dtype of the per-tile output rows (--fp16/--fp32 analog,
+    ref: src/app.cpp:1000-1035). Per-block math is always f32; only the
+    carried (color, alpha, transmittance) rows round to bf16."""
+    return jnp.bfloat16 if grid.accum_dtype == "bfloat16" else jnp.float32
+
+
 def _tri(b, strict: bool):
     """Lower-triangular ones [b, b] (strict excludes the diagonal)."""
     r = lax.broadcasted_iota(jnp.int32, (b, b), 0)
@@ -162,12 +169,12 @@ def _fwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, out_ref):
     first = bf_ref[j] == 1
     live = bl_ref[j] == 1
     p = grid.tile_pixels
+    acc = _acc_dtype(grid)
 
     @pl.when(first)
     def _():
         out_ref[0] = jnp.concatenate(
-            [jnp.zeros((4, p), jnp.float32), jnp.ones((1, p), jnp.float32),
-             jnp.zeros((3, p), jnp.float32)],
+            [jnp.zeros((4, p), acc), jnp.ones((1, p), acc), jnp.zeros((3, p), acc)],
             axis=0,
         )
 
@@ -177,24 +184,26 @@ def _fwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, out_ref):
         w = _block_weights(feats, px, py, grid)
         one_minus = 1.0 - w
         excl = _excl_cumprod_rows(one_minus)
-        t_before = out_ref[0, 4:5, :] * excl
+        t_run = out_ref[0, 4:5, :].astype(jnp.float32)
+        t_before = t_run * excl
         eff = t_before * w  # [B, P]
         block_prod = excl[grid.block - 1 : grid.block, :] * one_minus[grid.block - 1 : grid.block, :]
-        t_new = out_ref[0, 4:5, :] * block_prod
+        t_new = t_run * block_prod
         # color accumulation: one [3, B] x [B, P] matmul on the MXU instead
         # of three separate sublane reductions
         cmat = jnp.transpose(feats[:, F_R : F_R + 3])  # [3, B]
         contrib = jnp.dot(cmat, eff, preferred_element_type=jnp.float32)  # [3, P]
-        out_ref[0, 0:3, :] = out_ref[0, 0:3, :] + contrib
-        out_ref[0, 3:4, :] = 1.0 - t_new
-        out_ref[0, 4:5, :] = t_new
+        out_ref[0, 0:3, :] = (out_ref[0, 0:3, :].astype(jnp.float32) + contrib).astype(acc)
+        out_ref[0, 3:4, :] = (1.0 - t_new).astype(acc)
+        out_ref[0, 4:5, :] = t_new.astype(acc)
 
     # padding blocks past the last real tile carry only null instances — skip
     # their compute entirely (the out buffer already holds the final state)
     if grid.early_stop_eps > 0.0:
         # also skip once the whole tile is (numerically) opaque — the analog
         # of the per-pixel early-out hardware blending gets for free
-        pl.when(live & (first | (jnp.max(out_ref[0, 4:5, :]) >= grid.early_stop_eps)))(body)
+        pl.when(live & (first | (jnp.max(out_ref[0, 4:5, :].astype(jnp.float32))
+                                 >= grid.early_stop_eps)))(body)
     else:
         pl.when(live)(body)
 
@@ -224,10 +233,10 @@ def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, basis_ref,
         eff = t_before * w
         block_prod = excl[b - 1 : b, :] * one_minus[b - 1 : b, :]
 
-        t_fin = res_ref[0, 4:5, :]
-        d_alpha_out = dout_ref[0, 3:4, :]
-        d_tfin_out = dout_ref[0, 4:5, :]
-        d_rgb_out = dout_ref[0, 0:3, :]  # [3, P]
+        t_fin = res_ref[0, 4:5, :].astype(jnp.float32)
+        d_alpha_out = dout_ref[0, 3:4, :].astype(jnp.float32)
+        d_tfin_out = dout_ref[0, 4:5, :].astype(jnp.float32)
+        d_rgb_out = dout_ref[0, 0:3, :].astype(jnp.float32)  # [3, P]
         inv_om = 1.0 / jnp.maximum(one_minus, 1e-9)
 
         # dL/dw accumulated over color channels + alpha/transmittance rows.
@@ -244,7 +253,8 @@ def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, basis_ref,
                 + colors[:, 2:3] * d_rgb_out[2:3, :])  # [B, P]
         # [1, P] row constants folded together before touching [B, P] shapes
         row = (d_alpha_out - d_tfin_out) * t_fin - jnp.sum(
-            d_rgb_out * (res_ref[0, 0:3, :] - carry[1:4, :]), axis=0, keepdims=True
+            d_rgb_out * (res_ref[0, 0:3, :].astype(jnp.float32) - carry[1:4, :]),
+            axis=0, keepdims=True,
         )
         incl_dot = _scan_rows_add(eff * cdot)
         dw = (incl_dot + row) * inv_om + t_before * cdot
@@ -325,7 +335,7 @@ def _fwd_call(inst, block_tile, block_first, block_live, grid: TileGrid):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((grid.num_tiles, OUT_ROWS, p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((grid.num_tiles, OUT_ROWS, p), _acc_dtype(grid)),
         interpret=_interpret(),
     )(block_tile, block_first, block_live, inst)
 

@@ -26,6 +26,7 @@ def _grid_from_config(config, num_splats: int) -> TileGrid:
         max_instance_mult=config.max_instance_mult,
         alpha_cutoff=config.alpha_cutoff,
         early_stop_eps=config.early_stop_eps,
+        accum_dtype=config.accum_dtype,
     )
 
 
@@ -80,7 +81,7 @@ def composite_tiled(sorted_splats, config, return_aux: bool = False):
         .transpose(0, 3, 1, 4, 2)
         .reshape(grid.tiles_y * ts, grid.tiles_x * ts, 4)
     )
-    img = img[: config.height, : config.width, :]
+    img = img[: config.height, : config.width, :].astype(jnp.float32)
     if return_aux:
         return img, {
             "num_culled_instances": bins["num_culled_instances"],

@@ -144,6 +144,32 @@ def test_render_bf16_accumulation_close():
     np.testing.assert_allclose(bf16, f32, atol=0.05)
 
 
+def test_render_bf16_accumulation_tiled():
+    # the tiled Pallas kernels honor the same knob: per-block math stays f32,
+    # only the carried (color, alpha, T) tile rows round to bf16
+    scene = make_debug_scene()
+    cam = _debug_camera(64, 64)
+    cfg = RenderConfig(64, 64, pipeline="tiled", tile_size=16, tile_block=8,
+                       max_instance_mult=20)
+    f32 = np.asarray(render(scene, cam, cfg))
+    bf16 = np.asarray(
+        render(scene, cam, dataclasses.replace(cfg, accum_dtype="bfloat16"))
+    )
+    assert bf16.dtype == np.float32  # API dtype is unchanged
+    np.testing.assert_allclose(bf16, f32, atol=0.05)
+    # gradients still flow (approximate under bf16 accumulation)
+    g = jax.grad(
+        lambda s: float32_loss(s, cam, dataclasses.replace(cfg, accum_dtype="bfloat16"))
+    )(scene)
+    assert np.isfinite(np.asarray(g.means)).all()
+
+
+def float32_loss(scene, cam, cfg):
+    import jax.numpy as jnp
+
+    return jnp.mean(render(scene, cam, cfg).astype(jnp.float32) ** 2)
+
+
 def test_render_batch_shape():
     scene = make_debug_scene()
     cams = [
