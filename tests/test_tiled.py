@@ -81,6 +81,34 @@ def test_binning_depth_order_preserved():
     np.testing.assert_array_equal(members, np.arange(8))
 
 
+def test_binning_depth_key_orders_unsorted_input():
+    # with a depth argument, bin_splats must order instances front-to-back
+    # per tile regardless of input order (the tiled path no longer pre-sorts)
+    grid = TileGrid.create(width=32, height=32, num_splats=8, tile_size=16, block=8)
+    mean2d = jnp.tile(jnp.asarray([[8.0, 8.0]]), (8, 1))  # all in one tile
+    radius = jnp.full((8,), 2.0)
+    rng = np.random.default_rng(3)
+    depth = jnp.asarray(rng.permutation(8).astype(np.float32) + 1.0)
+    bins = bin_splats(mean2d, radius, grid, depth=depth)
+    inst = np.asarray(bins["inst_splat"])
+    members = inst[inst < 8]
+    np.testing.assert_array_equal(members, np.argsort(np.asarray(depth)))
+
+
+def test_binning_depth_tie_break_reference_order():
+    # equal depth: the reference's stable back-to-front radix draw implies the
+    # HIGHER-index splat composites in front (ref: shader/presort_compute.glsl:
+    # 52-53); front-to-back order is therefore descending index
+    grid = TileGrid.create(width=32, height=32, num_splats=4, tile_size=16, block=8)
+    mean2d = jnp.tile(jnp.asarray([[8.0, 8.0]]), (4, 1))
+    radius = jnp.full((4,), 2.0)
+    depth = jnp.asarray([2.0, 2.0, 1.0, 1.0])
+    bins = bin_splats(mean2d, radius, grid, depth=depth)
+    inst = np.asarray(bins["inst_splat"])
+    members = inst[inst < 4]
+    np.testing.assert_array_equal(members, np.asarray([3, 2, 1, 0]))
+
+
 def test_binning_overflow_reported():
     grid = TileGrid.create(width=32, height=32, num_splats=2, tile_size=16, block=8,
                            max_instance_mult=1)
