@@ -64,6 +64,11 @@ def main():
     parser.add_argument("--warmup", type=int, default=1)
     parser.add_argument("--fwd-only", action="store_true")
     parser.add_argument(
+        "--views", type=int, default=1,
+        help="camera-batch size (BASELINE config 4 analog): vmap over a "
+             "circular camera path; throughput counts all views' pixels",
+    )
+    parser.add_argument(
         "--instance-mult", type=int, default=2,
         help="instance-buffer capacity as a multiple of N (the bench scene "
              "peaks at ~1.72 instances/splat with opacity-tightened AABBs; "
@@ -86,10 +91,26 @@ def main():
     from splatapult_tpu.render import Camera, RenderConfig, render
 
     scene = make_scene(args.splats)
-    cam = Camera.from_fov(
-        T.look_at(eye=[0.0, 0.8, 4.5], target=[0, 0, 0], up=[0, 1, 0]),
-        fovy=np.pi / 4, width=args.width, height=args.height,
-    )
+    if args.views > 1:
+        from splatapult_tpu.render import render_batch
+
+        cams = [
+            Camera.from_fov(
+                T.look_at(eye=[np.cos(a) * 4.5, 0.8, np.sin(a) * 4.5],
+                          target=[0, 0, 0], up=[0, 1, 0]),
+                fovy=np.pi / 4, width=args.width, height=args.height,
+            )
+            for a in np.linspace(0, 2 * np.pi, args.views, endpoint=False)
+        ]
+        cam = Camera(
+            cam_to_world=jnp.stack([c.cam_to_world for c in cams]),
+            proj=jnp.stack([c.proj for c in cams]),
+        )
+    else:
+        cam = Camera.from_fov(
+            T.look_at(eye=[0.0, 0.8, 4.5], target=[0, 0, 0], up=[0, 1, 0]),
+            fovy=np.pi / 4, width=args.width, height=args.height,
+        )
     config = RenderConfig(
         width=args.width, height=args.height, pipeline="tiled",
         tile_size=args.tile_size, tile_block=args.tile_block,
@@ -104,19 +125,21 @@ def main():
     # one scalar readback; per-step = (total - one protocol round trip) / K.
     k = args.iters
 
+    render_fn = render if args.views == 1 else render_batch
+
     if args.fwd_only:
         def one_step(s, c, eps):
-            img = render(
+            img = render_fn(
                 GaussianScene(
                     means=s.means + eps, sh=s.sh, opacities=s.opacities,
                     log_scales=s.log_scales, quats=s.quats,
                 ),
                 c, config,
             )
-            return img[0, 0, 0] * 1e-30  # data dependency for the next step
+            return jnp.ravel(img)[0] * 1e-30  # data dependency for the next step
     else:
         def loss(s, c):
-            return jnp.mean(render(s, c, config) ** 2)
+            return jnp.mean(render_fn(s, c, config) ** 2)
 
         grad_loss = jax.value_and_grad(loss)
 
@@ -159,7 +182,7 @@ def main():
     # own estimated compute: with K steps, overhead cancels in the difference)
     dt = max((t_k - t_single) / (k - 1), 1e-9) if k > 1 else t_k
 
-    pixels = args.width * args.height
+    pixels = args.width * args.height * args.views
     value = pixels / dt
     if args.verbose:
         import sys
@@ -167,7 +190,7 @@ def main():
         print(
             f"# compile={compile_s:.1f}s step={dt * 1e3:.2f}ms "
             f"(1-step total={t_single * 1e3:.1f}ms, {k}-step total={t_k * 1e3:.1f}ms) "
-            f"splats={args.splats} {args.width}x{args.height} "
+            f"splats={args.splats} {args.width}x{args.height} views={args.views} "
             f"mode={'fwd' if args.fwd_only else 'fwd+bwd'}",
             file=sys.stderr,
         )
