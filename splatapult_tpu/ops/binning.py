@@ -136,6 +136,8 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
       block_tile [NB] int32 — owning tile of each B-block
       block_first [NB] int32 — 1 iff block is the first of its tile
       block_live [NB] int32 — 0 for blocks past the last real tile (skipped)
+      block_meta [NB] int32 — (tile << 2 | first << 1 | live) packed for the
+        kernels' single scalar-prefetch operand
       tile_ok [T] bool — tile has at least one instance
       tile_count [T] int32 — true instance count per tile
       num_culled_instances [] int32 — instances dropped by capacity overflow
@@ -288,9 +290,12 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
 
     tile_ok = tile_count > 0
 
+    block_meta = (block_tile << 2) | (block_first << 1) | block_live
+
     return {
         "inst_splat": inst_splat,
         "m_pos": m_pos,
+        "block_meta": block_meta,
         "seg_offs": offs,
         "seg_cnt": cnt,
         "block_tile": block_tile,

@@ -163,11 +163,15 @@ def _block_weights(feats, px, py, grid: TileGrid):
     return w
 
 
-def _fwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, out_ref):
+def _fwd_kernel(grid: TileGrid, meta_ref, inst_ref, out_ref):
+    # meta packs (tile << 2 | first << 1 | live): ONE scalar-prefetch operand
+    # instead of three — per-grid-step block bookkeeping is a measured cost
+    # at ~18k steps (see PERF.md)
     j = pl.program_id(0)
-    t = bt_ref[j]
-    first = bf_ref[j] == 1
-    live = bl_ref[j] == 1
+    meta = meta_ref[j]
+    t = meta >> 2
+    first = (meta & 2) == 2
+    live = (meta & 1) == 1
     p = grid.tile_pixels
     acc = _acc_dtype(grid)
 
@@ -208,13 +212,16 @@ def _fwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, out_ref):
         pl.when(live)(body)
 
 
-def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, basis_ref,
-                res_ref, dout_ref, *rest):
-    *dcol_refs, carry = rest
+def _bwd_kernel(grid: TileGrid, meta_ref, inst_ref, basis_ref,
+                rd_ref, dcols_ref, carry):
+    # meta_ref as in _fwd_kernel; rd_ref carries the forward residual rows
+    # stacked with the output cotangent rows ([1, 16, P]) so the tile-indexed
+    # input needs one block mapping instead of two
     j = pl.program_id(0)
-    t = bt_ref[j]
-    first = bf_ref[j] == 1
-    live = bl_ref[j] == 1
+    meta = meta_ref[j]
+    t = meta >> 2
+    first = (meta & 2) == 2
+    live = (meta & 1) == 1
     b = grid.block
 
     @pl.when(first)
@@ -233,10 +240,10 @@ def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, basis_ref,
         eff = t_before * w
         block_prod = excl[b - 1 : b, :] * one_minus[b - 1 : b, :]
 
-        t_fin = res_ref[0, 4:5, :].astype(jnp.float32)
-        d_alpha_out = dout_ref[0, 3:4, :].astype(jnp.float32)
-        d_tfin_out = dout_ref[0, 4:5, :].astype(jnp.float32)
-        d_rgb_out = dout_ref[0, 0:3, :].astype(jnp.float32)  # [3, P]
+        t_fin = rd_ref[0, 4:5, :].astype(jnp.float32)
+        d_alpha_out = rd_ref[0, OUT_ROWS + 3 : OUT_ROWS + 4, :].astype(jnp.float32)
+        d_tfin_out = rd_ref[0, OUT_ROWS + 4 : OUT_ROWS + 5, :].astype(jnp.float32)
+        d_rgb_out = rd_ref[0, OUT_ROWS : OUT_ROWS + 3, :].astype(jnp.float32)  # [3, P]
         inv_om = 1.0 / jnp.maximum(one_minus, 1e-9)
 
         # dL/dw accumulated over color channels + alpha/transmittance rows.
@@ -253,7 +260,7 @@ def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, basis_ref,
                 + colors[:, 2:3] * d_rgb_out[2:3, :])  # [B, P]
         # [1, P] row constants folded together before touching [B, P] shapes
         row = (d_alpha_out - d_tfin_out) * t_fin - jnp.sum(
-            d_rgb_out * (res_ref[0, 0:3, :].astype(jnp.float32) - carry[1:4, :]),
+            d_rgb_out * (rd_ref[0, 0:3, :].astype(jnp.float32) - carry[1:4, :]),
             axis=0, keepdims=True,
         )
         incl_dot = _scan_rows_add(eff * cdot)
@@ -290,16 +297,15 @@ def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, basis_ref,
             eff, jnp.transpose(d_rgb_out), preferred_element_type=jnp.float32
         )  # [B, 3]
 
-        # nine SEPARATE [1, B] outputs (column-major by construction): the
-        # backward tail sorts each gradient column as a 1-D payload, and
-        # slicing columns out of a [mcap, 16] row buffer costs a full strided
-        # relayout pass per column
-        for ref, col in zip(
-            dcol_refs,
-            [d_mx, d_my, d_qa, d_qb, d_qc, d_lna,
-             dcols[:, 0:1], dcols[:, 1:2], dcols[:, 2:3]],
-        ):
-            ref[:, :] = jnp.transpose(col)
+        # ONE [9, B] column-major output block: the backward tail sorts each
+        # gradient column as a 1-D payload — rows of [9, mcap] are contiguous
+        # [mcap] slices, whereas slicing columns out of a [mcap, 16] row
+        # buffer costs a full strided relayout pass per column. A single
+        # 9-row output also keeps the per-grid-step block bookkeeping to one
+        # mapping instead of nine.
+        dcols_ref[:, :] = jnp.transpose(jnp.concatenate(
+            [d_mx, d_my, d_qa, d_qb, d_qc, d_lna, dcols], axis=1
+        ))
 
         # advance carries past this block (block totals are plain reductions,
         # not scans)
@@ -317,62 +323,57 @@ def _bwd_kernel(grid: TileGrid, bt_ref, bf_ref, bl_ref, inst_ref, basis_ref,
     @pl.when(jnp.logical_not(run))
     def _():
         # skipped blocks (padding or early-stopped) still own their d slices
-        for ref in dcol_refs:
-            ref[:, :] = jnp.zeros((1, b), jnp.float32)
+        dcols_ref[:, :] = jnp.zeros((NUM_GRAD_COLS, b), jnp.float32)
 
 
-def _fwd_call(inst, block_tile, block_first, block_live, grid: TileGrid):
+def _fwd_call(inst, block_meta, grid: TileGrid):
     p = grid.tile_pixels
     kernel = functools.partial(_fwd_kernel, grid)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(grid.num_blocks,),
         in_specs=[
-            pl.BlockSpec((grid.block, NUM_FEATS), lambda j, bt, bf, bl: (j, 0)),
+            pl.BlockSpec((grid.block, NUM_FEATS), lambda j, m: (j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, OUT_ROWS, p), lambda j, bt, bf, bl: (bt[j], 0, 0)),
+        out_specs=pl.BlockSpec((1, OUT_ROWS, p), lambda j, m: (m[j] >> 2, 0, 0)),
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((grid.num_tiles, OUT_ROWS, p), _acc_dtype(grid)),
         interpret=_interpret(),
-    )(block_tile, block_first, block_live, inst)
+    )(block_meta, inst)
 
 
 NUM_GRAD_COLS = 9  # d_mx, d_my, d_qa, d_qb, d_qc, d_lna, dr, dg, db
 
 
-def _bwd_call(inst, block_tile, block_first, block_live, out_res, dout, grid: TileGrid):
-    """-> tuple of 9 per-instance gradient columns, each [1, mcap]
-    (flattens to [mcap] in instance order)."""
+def _bwd_call(inst, block_meta, out_res, dout, grid: TileGrid):
+    """-> [9, mcap] per-instance gradient columns (rows are contiguous [mcap]
+    slices in instance order)."""
     p = grid.tile_pixels
     kernel = functools.partial(_bwd_kernel, grid)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(grid.num_blocks,),
         in_specs=[
-            pl.BlockSpec((grid.block, NUM_FEATS), lambda j, bt, bf, bl: (j, 0)),
-            pl.BlockSpec((p, NUM_MOMS), lambda j, bt, bf, bl: (0, 0)),
-            pl.BlockSpec((1, OUT_ROWS, p), lambda j, bt, bf, bl: (bt[j], 0, 0)),
-            pl.BlockSpec((1, OUT_ROWS, p), lambda j, bt, bf, bl: (bt[j], 0, 0)),
+            pl.BlockSpec((grid.block, NUM_FEATS), lambda j, m: (j, 0)),
+            pl.BlockSpec((p, NUM_MOMS), lambda j, m: (0, 0)),
+            pl.BlockSpec((1, 2 * OUT_ROWS, p), lambda j, m: (m[j] >> 2, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, grid.block), lambda j, bt, bf, bl: (0, j))
-            for _ in range(NUM_GRAD_COLS)
-        ],
+        out_specs=pl.BlockSpec(
+            (NUM_GRAD_COLS, grid.block), lambda j, m: (0, j)
+        ),
         scratch_shapes=[pltpu.VMEM((4, p), jnp.float32)],
     )
     basis = jnp.asarray(moment_basis(grid))
+    res_dout = jnp.concatenate([out_res, dout], axis=1)  # [T, 16, P]
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((1, grid.mcap), jnp.float32)
-            for _ in range(NUM_GRAD_COLS)
-        ],
+        out_shape=jax.ShapeDtypeStruct((NUM_GRAD_COLS, grid.mcap), jnp.float32),
         interpret=_interpret(),
-    )(block_tile, block_first, block_live, inst, basis, out_res, dout)
+    )(block_meta, inst, basis, res_dout)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -389,14 +390,12 @@ def composite_from_feats(feats, bins, grid: TileGrid):
     inverse-permutation gather (~110 ms).
     """
     inst = jnp.take(feats, bins["inst_splat"], axis=0)
-    return _fwd_call(inst, bins["block_tile"], bins["block_first"], bins["block_live"], grid)
+    return _fwd_call(inst, bins["block_meta"], grid)
 
 
 def _cff_fwd(feats, bins, grid):
     inst = jnp.take(feats, bins["inst_splat"], axis=0)
-    out = _fwd_call(
-        inst, bins["block_tile"], bins["block_first"], bins["block_live"], grid
-    )
+    out = _fwd_call(inst, bins["block_meta"], grid)
     # inst is saved as a residual: regathering it in the backward costs ~28 ms
     # at 4M instances (row gathers are ~6.5 ns per index on v5e) vs. one
     # [mcap, 16] f32 buffer kept live
@@ -422,9 +421,7 @@ def _blocked_cumsum(x, block: int = 512):
 
 def _cff_bwd(grid, residuals, dout):
     inst, bins, out = residuals
-    d_inst = _bwd_call(
-        inst, bins["block_tile"], bins["block_first"], bins["block_live"], out, dout, grid
-    )
+    d_inst = _bwd_call(inst, bins["block_meta"], out, dout, grid)
     # sort transpose: pos-space grads -> enumeration order -> per-splat sums.
     # The nine live gradient columns ride the m_pos sort as payload operands:
     # sorts stream HBM sequentially (~0.3 ms per operand at 2M rows) whereas
@@ -434,7 +431,8 @@ def _cff_bwd(grid, residuals, dout):
     # their d rows are zeros anyway (the backward kernel zero-fills skipped
     # blocks).
     sorted_cols = lax.sort(
-        (bins["m_pos"],) + tuple(c.reshape(-1) for c in d_inst), num_keys=1
+        (bins["m_pos"],) + tuple(d_inst[i] for i in range(NUM_GRAD_COLS)),
+        num_keys=1,
     )
     # per-splat segment sums over the enumeration ranges. Segments are
     # CONTIGUOUS (offs is an exact exclusive cumsum of cnt, dropped splats

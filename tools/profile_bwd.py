@@ -89,9 +89,7 @@ def main():
         )
         feats = pack_features(d["mean2d"], d["conic"], d["rgb"], d["alpha"])
         inst = jnp.take(feats, bins["inst_splat"], axis=0)
-        out = C._fwd_call(
-            inst, bins["block_tile"], bins["block_first"], bins["block_live"], grid
-        )
+        out = C._fwd_call(inst, bins["block_meta"], grid)
         return bins, feats, inst, out
 
     bins, feats, inst, out = jax.block_until_ready(setup(scene))
@@ -116,8 +114,7 @@ def main():
         "fwd kernel only",
         lambda c, i: chain(
             c,
-            C._fwd_call(i + c, bins["block_tile"], bins["block_first"],
-                        bins["block_live"], grid),
+            C._fwd_call(i + c, bins["block_meta"], grid),
         ),
         inst,
     )
@@ -125,8 +122,7 @@ def main():
         "bwd kernel only",
         lambda c, i: chain(
             c,
-            *C._bwd_call(i + c, bins["block_tile"], bins["block_first"],
-                         bins["block_live"], out, dout, grid),
+            C._bwd_call(i + c, bins["block_meta"], out, dout, grid),
         ),
         inst,
     )
