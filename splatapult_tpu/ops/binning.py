@@ -21,8 +21,8 @@ the full 32-bit radix sort of every visible splat (ref: src/splatrenderer.cpp:
    data-dependent shapes, no host readback (the reference stalls the pipe
    every frame reading its counter, src/splatrenderer.cpp:196-204).
 3. Block alignment happens *inside the sort*: exact per-tile padding entries
-   (computed from a sort-based 2D rectangle histogram — the classic
-   corner-delta/2D-cumsum trick) are appended before the tile sort, so every
+   (counted by one bincount-by-sort over the enumerated tile ids) are
+   appended before the tile sort, so every
    tile's segment in the sorted order starts at a multiple of the compositing
    block size B and is filled to a multiple of B with *null instances*
    (splat index N -> an all-zero feature row). The sorted order IS the

@@ -76,8 +76,7 @@ def main():
         bins = bin_splats(d["mean2d"], d["extent"], grid)
         feats = pack_features(d["mean2d"], d["conic"], d["rgb"], d["alpha"])
         inst = jnp.take(feats, bins["inst_splat"], axis=0)
-        out = C._fwd_call(inst, bins["block_tile"], bins["block_first"],
-                          bins["block_live"], grid)
+        out = C._fwd_call(inst, bins["block_meta"], grid)
         return inst, bins["block_tile"], bins["block_first"], bins["block_live"], out
 
     inst, bt, bf, bl, out = jax.block_until_ready(build(scene))
