@@ -129,16 +129,24 @@ def _maybe_overlay(img, args, cameras, cam):
 
 
 def cmd_render(args):
-    from splatapult_tpu.render import render
+    from splatapult_tpu.render import render, render_batch
     from splatapult_tpu.utils.image import save_png
 
     scene, cameras, floor, _ = _load_scene_and_assets(args)
     cam = _make_camera(args, cameras, floor)
     cfg = _config(args)
     t0 = time.time()
-    img = np.asarray(render(scene, cam, cfg))
+    if args.stereo:
+        # the VR stereo pair (ref: src/xrbuddy.cpp:1689-1800), rendered as a
+        # 2-view batch and written side by side; per-splat work is shared by
+        # the batch the way the reference shares its sort across eyes
+        pair = render_batch(scene, cam.stereo_pair(ipd=args.ipd), cfg)
+        img = np.concatenate([np.asarray(pair[0]), np.asarray(pair[1])], axis=1)
+    else:
+        img = np.asarray(render(scene, cam, cfg))
     log.info("rendered %dx%d in %.2fs (incl. compile)", args.width, args.height, time.time() - t0)
-    img = _maybe_overlay(img, args, cameras, cam)
+    if not args.stereo:
+        img = _maybe_overlay(img, args, cameras, cam)
     save_png(args.output, img, srgb_encode=args.srgb)
     print(f"wrote {args.output}")
 
@@ -230,6 +238,11 @@ def main(argv=None):
 
     p = sub.add_parser("render", help="render one view to PNG")
     _add_common(p)
+    p.add_argument("--stereo", action="store_true",
+                   help="render an L/R eye pair side by side (the VR stereo "
+                        "analog, ref src/xrbuddy.cpp:1689-1800)")
+    p.add_argument("--ipd", type=float, default=0.064,
+                   help="interpupillary distance in meters for --stereo")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("path", help="render every cameras.json view")
