@@ -214,6 +214,44 @@ def cmd_export(args):
     print(f"wrote {args.output}")
 
 
+def cmd_bench(args):
+    """Throughput on the LOADED scene (the reference's vsync-off FPS counter,
+    ref: src/sdl_main.cpp:126-127,157-164). K data-chained renders inside one
+    jitted program, single readback — see bench.py for why naive timing is
+    wrong on the TPU tunnel."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+
+    from splatapult_tpu.io.gaussians import GaussianScene
+    from splatapult_tpu.render import render
+
+    scene, cameras, floor, _ = _load_scene_and_assets(args)
+    cam = _make_camera(args, cameras, floor)
+    cfg = _config(args)
+
+    def one(s, eps):
+        img = render(
+            GaussianScene(means=s.means + eps, sh=s.sh, opacities=s.opacities,
+                          log_scales=s.log_scales, quats=s.quats), cam, cfg)
+        return jnp.ravel(img)[0] * 1e-30
+
+    def k_steps(s, k):
+        return jax.lax.fori_loop(0, k, lambda _, e: one(s, e), jnp.float32(0.0))
+
+    runner = jax.jit(k_steps)
+    float(runner(scene, jnp.int32(1)))  # compile + enter sync mode
+    t1 = time.perf_counter(); float(runner(scene, jnp.int32(1))); t1 = time.perf_counter() - t1
+    tk = time.perf_counter(); float(runner(scene, jnp.int32(args.iters))); tk = time.perf_counter() - tk
+    dt = max((tk - t1) / max(args.iters - 1, 1), 1e-9)
+    print(_json.dumps({
+        "splats": int(scene.num_gaussians), "width": args.width, "height": args.height,
+        "ms_per_frame": dt * 1e3, "fps": 1.0 / dt,
+        "pixels_per_s": args.width * args.height / dt,
+    }))
+
+
 def cmd_info(args):
     from splatapult_tpu.io.configs import discover_scene, load_cameras_json
     from splatapult_tpu.io.gaussians import load_gaussian_ply
@@ -264,6 +302,11 @@ def main(argv=None):
     p.add_argument("--prune-origin", type=float, nargs=3, default=[0.0, 0.0, 0.0])
     p.add_argument("-d", "--debug", action="store_true")
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("bench", help="frame-rate benchmark on a .ply scene")
+    _add_common(p)
+    p.add_argument("--iters", type=int, default=20)
+    p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("info", help="print scene info + discovered configs")
     p.add_argument("ply")
