@@ -140,11 +140,14 @@ def cmd_render(args):
         # the VR stereo pair (ref: src/xrbuddy.cpp:1689-1800), rendered as a
         # 2-view batch and written side by side; per-splat work is shared by
         # the batch the way the reference shares its sort across eyes
+        if args.show_cameras:
+            log.warning("--show-cameras is not drawn on --stereo renders")
         pair = render_batch(scene, cam.stereo_pair(ipd=args.ipd), cfg)
         img = np.concatenate([np.asarray(pair[0]), np.asarray(pair[1])], axis=1)
     else:
         img = np.asarray(render(scene, cam, cfg))
-    log.info("rendered %dx%d in %.2fs (incl. compile)", args.width, args.height, time.time() - t0)
+    log.info("rendered %dx%d in %.2fs (incl. compile)",
+             img.shape[1], img.shape[0], time.time() - t0)
     if not args.stereo:
         img = _maybe_overlay(img, args, cameras, cam)
     save_png(args.output, img, srgb_encode=args.srgb)
@@ -244,7 +247,10 @@ def cmd_bench(args):
     float(runner(scene, jnp.int32(1)))  # compile + enter sync mode
     t1 = time.perf_counter(); float(runner(scene, jnp.int32(1))); t1 = time.perf_counter() - t1
     tk = time.perf_counter(); float(runner(scene, jnp.int32(args.iters))); tk = time.perf_counter() - tk
-    dt = max((tk - t1) / max(args.iters - 1, 1), 1e-9)
+    # with a single iteration there is no protocol-overhead cancellation;
+    # report the raw 1-step total instead of a garbage difference
+    dt = (tk - t1) / (args.iters - 1) if args.iters > 1 else tk
+    dt = max(dt, 1e-9)
     print(_json.dumps({
         "splats": int(scene.num_gaussians), "width": args.width, "height": args.height,
         "ms_per_frame": dt * 1e3, "fps": 1.0 / dt,

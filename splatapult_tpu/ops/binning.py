@@ -37,8 +37,9 @@ by 1-D cummaxes) and one row gather (the feature rows), and pushes every
 other reordering into `lax.sort` (see tools/microbench_bin2.py for the
 measurements).
 
-Overflow: if the enumeration capacity ``emax`` is exceeded, whole farthest
-splats are dropped (their counts zeroed before enumeration) so the sorted
+Overflow: if the enumeration capacity ``emax`` is exceeded, whole FARTHEST
+splats are dropped — by the depth key when one is given, by input order
+(which is depth order for pre-sorted callers) otherwise — so the sorted
 structure stays exact; the dropped instance count is reported, never silent.
 """
 
@@ -165,12 +166,41 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
     ny = jnp.maximum(r1 - r0, 0)
     cnt_raw = jnp.where(valid, nx * ny, 0).astype(jnp.int32)
 
-    # overflow: drop whole splats past the capacity (in input order — the
-    # farthest splats when the caller pre-sorted, arbitrary otherwise) so
-    # every kept splat's rect stays complete and the histogram/padding stay
-    # exact
+    # overflow: drop WHOLE splats past the capacity so every kept splat's rect
+    # stays complete and the histogram/padding stay exact. With depth given,
+    # drop the FARTHEST splats (the least visible — matching what input-order
+    # truncation does for pre-sorted callers); the depth-threshold search runs
+    # only when an overflow actually occurs (lax.cond).
     offs_raw = jnp.cumsum(cnt_raw) - cnt_raw
-    keep = offs_raw + cnt_raw <= emax
+    total_raw = offs_raw[-1] + cnt_raw[-1] if n > 0 else jnp.int32(0)
+    if depth is None or n == 0:
+        keep = offs_raw + cnt_raw <= emax
+    else:
+        depth_f = jnp.asarray(depth, jnp.float32)
+
+        def _drop_farthest(_):
+            d_sorted, c_sorted = lax.sort((depth_f, cnt_raw), num_keys=1)
+            cum = jnp.cumsum(c_sorted)
+            # last depth-sorted index whose cumulative instance count fits
+            k = jnp.searchsorted(cum, jnp.int32(emax), side="right")
+            thr = jnp.where(
+                k > 0, d_sorted[jnp.clip(k - 1, 0, n - 1)], -jnp.inf
+            )
+            keep_lt = depth_f < thr  # total of these is <= cum[k-1] <= emax
+            used = jnp.sum(jnp.where(keep_lt, cnt_raw, 0))
+            # splats exactly at the threshold depth: admit greedily in input
+            # order while capacity remains (exact under depth ties)
+            at_thr = depth_f == thr
+            c_at = jnp.where(at_thr, cnt_raw, 0)
+            fits = used + jnp.cumsum(c_at) <= emax
+            return keep_lt | (at_thr & fits)
+
+        keep = lax.cond(
+            total_raw > emax,
+            _drop_farthest,
+            lambda _: jnp.ones((n,), bool),
+            operand=None,
+        )
     cnt = jnp.where(keep, cnt_raw, 0)
     offs = jnp.cumsum(cnt) - cnt  # exclusive
     total = offs[-1] + cnt[-1] if n > 0 else jnp.int32(0)

@@ -128,6 +128,30 @@ def test_binning_overflow_reported():
     assert int(bins3["num_culled_instances"]) > 0
 
 
+def test_binning_overflow_drops_farthest_with_depth():
+    # with a depth key, capacity overflow must drop the FARTHEST splats, not
+    # whatever happens to sit late in input order
+    import dataclasses
+
+    grid = TileGrid.create(width=32, height=32, num_splats=3, tile_size=16, block=8,
+                           max_instance_mult=1)
+    grid = dataclasses.replace(grid, emax=8, mcap=8 + grid.num_tiles * 8)
+    mean2d = jnp.tile(jnp.asarray([[16.0, 16.0]]), (3, 1))
+    radius = jnp.full((3,), 100.0)  # each splat -> 4 tiles; 12 raw > emax 8
+    depth = jnp.asarray([5.0, 1.0, 2.0])  # the FIRST splat is the farthest
+    bins = bin_splats(mean2d, radius, grid, depth=depth)
+    inst = np.asarray(bins["inst_splat"])
+    assert int(bins["num_culled_instances"]) == 4
+    assert (inst == 0).sum() == 0  # farthest dropped
+    assert (inst == 1).sum() == 4 and (inst == 2).sum() == 4
+    # depth ties at the threshold: greedy refill keeps capacity exact
+    bins2 = bin_splats(mean2d, radius, grid, depth=jnp.asarray([2.0, 1.0, 2.0]))
+    inst2 = np.asarray(bins2["inst_splat"])
+    assert int(bins2["num_culled_instances"]) == 4
+    assert (inst2 == 1).sum() == 4  # strictly nearer always kept
+    assert (inst2 == 0).sum() + (inst2 == 2).sum() == 4  # one of the tied pair
+
+
 # ---------------------------------------------------------------- forward
 
 

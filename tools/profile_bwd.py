@@ -194,9 +194,9 @@ def main():
 
     timed("  [emax,9] cumsum only", cumsum_only, d_enum0)
 
-    # ---- prepare (projection/SH/sort) VJP ----
+    # ---- prepare (projection/SH, unsorted — the production tiled path) VJP ----
     def prep_loss(s):
-        d = prepare_splats(s, cam, config)
+        d = prepare_splats(s, cam, config, sort=False)
         return (d["mean2d"].sum() + d["conic"].sum() + d["rgb"].sum()
                 + d["alpha"].sum())
 
