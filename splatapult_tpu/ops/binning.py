@@ -104,6 +104,78 @@ class TileGrid:
         )
 
 
+_EXPAND_C = 512  # slot-chunk size of the Pallas expand kernel (divides emax)
+
+
+def _expand_fill_pallas(offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk,
+                        grid: TileGrid, fbt: int, fbn: int, ob: int):
+    """Expand the compacted per-splat table to per-slot values -> [3, emax].
+
+    The inverse of "which splat covers enumeration slot m": with the kept
+    splats compacted (offs strictly increasing), the covering row for any
+    slot in chunk j lies in a 2C-row window starting at block lo_blk[j].
+    Each field rides a packed (candidate_index << bits | field) masked max
+    over the window — argmax-by-construction, no gather, no scatter. Replaces
+    BOTH the scatter+cummax forward fill and the per-slot depth gather
+    (~26 ms of per-index-cost ops at 2M slots) with streaming VPU work.
+    Rows: 0 = tile id, 1 = ORIGINAL splat index, 2 = sortable depth bits.
+    """
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C = _EXPAND_C
+    tx_n = grid.tiles_x
+    emax = grid.emax
+    n_pad = offs_c.shape[0]
+    assert emax % C == 0 and n_pad % C == 0
+
+    def kernel(lo_ref, ta_ref, tb_ref, out_ref):
+        j = pl.program_id(0)
+        floor = lo_ref[j] * C
+        cand = jnp.concatenate([ta_ref[:, :], tb_ref[:, :]], axis=0)  # [2C, 5]
+        offs_cand = cand[:, 0:1]  # [2C, 1]
+        m = j * C + lax.broadcasted_iota(jnp.int32, (1, C), 1)  # [1, C] slots
+        q = offs_cand <= m  # [2C, C]
+        i_loc = lax.broadcasted_iota(jnp.int32, (2 * C, 1), 0)
+
+        def sel(packed):  # packed [2C, 1] -> [1, C] (value of max covering i)
+            return jnp.max(jnp.where(q, packed, -1), axis=0, keepdims=True)
+
+        sb = ob  # splat ids and offsets share the (widest) bit budget
+        s_tnx = sel((i_loc << (fbt + fbn)) | cand[:, 1:2])
+        s_off = sel((i_loc << ob) | offs_cand)
+        s_dhi = sel((i_loc << 16) | cand[:, 2:3])
+        s_dlo = sel((i_loc << 16) | cand[:, 3:4])
+        s_sid = sel((i_loc << sb) | cand[:, 4:5])
+
+        tile0_m = (s_tnx >> fbn) & ((1 << fbt) - 1)
+        nx_m = jnp.maximum(s_tnx & ((1 << fbn) - 1), 1)
+        offs_m = s_off & ((1 << ob) - 1)
+        dbits_m = ((s_dhi & 0xFFFF) << 16) | (s_dlo & 0xFFFF)
+        sid_m = s_sid & ((1 << sb) - 1)
+        jr = m - offs_m
+        tile_m = tile0_m + (jr // nx_m) * tx_n + jr % nx_m
+        out_ref[:, :] = jnp.concatenate([tile_m, sid_m, dbits_m], axis=0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(emax // C,),
+        in_specs=[
+            pl.BlockSpec((C, 5), lambda j, lo: (lo[j], 0)),
+            pl.BlockSpec((C, 5), lambda j, lo: (lo[j] + 1, 0)),
+        ],
+        out_specs=pl.BlockSpec((3, C), lambda j, lo: (0, j)),
+    )
+    table = jnp.stack([offs_c, tnx_c, dhi_c, dlo_c, sid_c], axis=1)  # [n_pad, 5]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((3, emax), jnp.int32),
+        interpret=jax.default_backend() == "cpu",
+    )(lo_blk, table, table)  # same table through two window block mappings
+
+
 def _bincount_by_sort(ids, num_bins: int):
     """Exact bincount of int ids in [0, num_bins] via sort + searchsorted.
 
@@ -224,7 +296,58 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
     fbn = max(int(tx_n).bit_length(), 1)  # bits for nx
     packable = (emax << fbt) < 2**32 and (n << fbn) < 2**31
     valid_m = m < total
-    if packable:
+    # Pallas expand-kernel path (see _expand_fill_pallas): needs every packed
+    # (candidate_index << bits | field) word to fit in int31
+    ib = (2 * _EXPAND_C - 1).bit_length()
+    ob = max(emax.bit_length(), max(n, 1).bit_length(), 1)
+    kernelable = (
+        depth is not None
+        and emax % _EXPAND_C == 0
+        and ib + ob <= 31
+        and ib + fbt + fbn <= 31
+        and ib + 16 <= 31
+    )
+    dep_enum = None  # per-slot sortable depth bits (kernel path only)
+    if kernelable:
+        C = _EXPAND_C
+        n_pad = (-(-n // C) + 2) * C
+        sent = jnp.int32((1 << ob) - 1)  # offs sentinel: never covers a slot
+        dbits = lax.bitcast_convert_type(
+            jnp.maximum(jnp.asarray(depth, jnp.float32), 0.0), jnp.int32
+        )  # non-negative f32 bits sort like the floats
+        # compact kept rows to a prefix (strictly increasing offs bounds the
+        # kernel's candidate window); ONE stable 1-key sort moves all columns
+        nk = (~kept).astype(jnp.int32)
+        _, offs_c, tnx_c, dhi_c, dlo_c, sid_c = lax.sort(
+            (
+                nk,
+                jnp.where(kept, offs, sent),
+                (r0 * tx_n + x0) << fbn | jnp.maximum(nx, 1),
+                dbits >> 16,
+                dbits & 0xFFFF,
+                jnp.arange(n, dtype=jnp.int32),
+            ),
+            num_keys=1,
+            is_stable=True,
+        )
+        pad_rows = n_pad - n
+        offs_c = jnp.concatenate([offs_c, jnp.full((pad_rows,), sent, jnp.int32)])
+        zpad = jnp.zeros((pad_rows,), jnp.int32)
+        tnx_c = jnp.concatenate([tnx_c, zpad])
+        dhi_c = jnp.concatenate([dhi_c, zpad])
+        dlo_c = jnp.concatenate([dlo_c, zpad])
+        sid_c = jnp.concatenate([sid_c, zpad])
+        chunk_starts = jnp.arange(emax // C, dtype=jnp.int32) * C
+        lo = jnp.clip(
+            jnp.searchsorted(offs_c, chunk_starts, side="right").astype(jnp.int32) - 1,
+            0, n_pad - 1,
+        )
+        lo_blk = jnp.clip(lo // C, 0, n_pad // C - 2)
+        out3 = _expand_fill_pallas(
+            offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk, grid, fbt, fbn, ob
+        )
+        tile, s, dep_enum = out3[0], out3[1], out3[2]
+    elif packable:
         tile0 = r0 * tx_n + x0  # first covered tile of the rect, < num_tiles
         col_a = (first_slot.astype(jnp.uint32) << fbt) | tile0.astype(jnp.uint32)
         col_b = (jnp.arange(n, dtype=jnp.int32) << fbn) | jnp.maximum(nx, 1)
@@ -284,12 +407,19 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
     if depth is not None:
         # per-instance depth + descending-splat-index tie-break as extra sort
         # keys; -s doubles as the inst_splat payload (keys are fully unique —
-        # one instance per (splat, tile) — so the sort may be unstable)
-        depth_p = jnp.concatenate(
-            [jnp.asarray(depth, jnp.float32), jnp.full((1,), jnp.inf, jnp.float32)]
-        )
+        # one instance per (splat, tile) — so the sort may be unstable).
+        # Depth keys are the f32 BITS as int32 (monotone for non-negative
+        # floats): full precision, and the kernel path produces them directly.
+        imax = jnp.int32(2**31 - 1)
+        if dep_enum is None:  # non-kernel paths: one per-slot gather
+            depth_bits = lax.bitcast_convert_type(
+                jnp.maximum(jnp.asarray(depth, jnp.float32), 0.0), jnp.int32
+            )
+            dep_enum = jnp.take(
+                jnp.concatenate([depth_bits, jnp.full((1,), imax, jnp.int32)]), s
+            )
         dep_all = jnp.concatenate(
-            [jnp.take(depth_p, s), jnp.full((pad_cap,), jnp.inf, jnp.float32)]
+            [jnp.where(valid_m, dep_enum, imax), jnp.full((pad_cap,), imax, jnp.int32)]
         )
         tile_sorted, _, neg_s, m_pos = lax.sort(
             (tile_all, dep_all, -s_all, m_all), num_keys=3, is_stable=False

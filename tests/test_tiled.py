@@ -128,6 +128,24 @@ def test_binning_overflow_reported():
     assert int(bins3["num_culled_instances"]) > 0
 
 
+def test_binning_expand_kernel_matches_fallback(monkeypatch, rng):
+    # the Pallas expand kernel (packed masked-max window selection) must
+    # produce bit-identical bins to the scatter+cummax+gather fallback
+    import splatapult_tpu.ops.binning as B
+
+    grid = TileGrid.create(width=96, height=64, num_splats=300, tile_size=16,
+                           block=8, max_instance_mult=4)
+    mean2d = jnp.asarray(rng.uniform(-10, 100, (300, 2)), jnp.float32)
+    ext = jnp.asarray(rng.uniform(0.0, 25.0, (300, 2)), jnp.float32)
+    ext = jnp.where(rng.uniform(size=(300, 2)) < 0.1, 0.0, ext)  # some culled
+    depth = jnp.asarray(rng.uniform(0.1, 50.0, (300,)), jnp.float32)
+    a = jax.tree.map(np.asarray, bin_splats(mean2d, ext, grid, depth=depth))
+    monkeypatch.setattr(B, "_EXPAND_C", 3000)  # emax % 3000 != 0 -> fallback
+    b = jax.tree.map(np.asarray, bin_splats(mean2d, ext, grid, depth=depth))
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 def test_binning_overflow_drops_farthest_with_depth():
     # with a depth key, capacity overflow must drop the FARTHEST splats, not
     # whatever happens to sit late in input order

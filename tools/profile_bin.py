@@ -82,11 +82,12 @@ def main():
 
     @jax.jit
     def setup(s):
-        d = prepare_splats(s, cam, config)
+        d = prepare_splats(s, cam, config, sort=False)
         return (jax.lax.stop_gradient(d["mean2d"]),
-                jax.lax.stop_gradient(d["extent"]))
+                jax.lax.stop_gradient(d["extent"]),
+                jax.lax.stop_gradient(d["depth"]))
 
-    mean2d, extent = jax.block_until_ready(setup(scene))
+    mean2d, extent, depth = jax.block_until_ready(setup(scene))
 
     def chain(c, *xs):
         tot = c * 1e-30
@@ -97,8 +98,11 @@ def main():
     def tree_chain(c, tree):
         return chain(c, *jax.tree_util.tree_leaves(tree))
 
-    # full production binning, everything live
+    # full production binning, everything live (depth key as in the tiled path)
     timed("bin_splats TOTAL (all outputs live)",
+          lambda c, m, e, dp: tree_chain(c, bin_splats(m + c, e, grid, depth=dp)),
+          mean2d, extent, depth)
+    timed("bin_splats TOTAL (legacy, no depth key)",
           lambda c, m, e: tree_chain(c, bin_splats(m + c, e, grid)),
           mean2d, extent)
 
