@@ -30,12 +30,13 @@ the full 32-bit radix sort of every visible splat (ref: src/splatrenderer.cpp:
    (owning tile, first-of-tile) falls out of strided slices.
 
 Why this shape: on TPU, XLA scatters and gathers cost ~5-9 ns per *index*
-(independent of row width) while sorts and 1-D scans move data at ~0.6-2
-ns/element — an order of magnitude cheaper. The pipeline therefore uses two
-unique-index 1-D scatters (the packed segment-start columns, forward-filled
-by 1-D cummaxes) and one row gather (the feature rows), and pushes every
-other reordering into `lax.sort` (see tools/microbench_bin2.py for the
-measurements).
+(independent of row width) while sorts and streaming kernels move data at
+~0.6-2 ns/element — an order of magnitude cheaper. The enumeration expansion
+is therefore a Pallas kernel (_expand_fill_pallas: packed masked-max window
+selection over the compacted splat table — no scatters, no gathers), the
+histogram is a bincount-by-sort, the only per-index op left is the feature
+row gather, and every other reordering is a `lax.sort` (measurements in
+tools/microbench_bin2.py and PERF.md).
 
 Overflow: if the enumeration capacity ``emax`` is exceeded, whole FARTHEST
 splats are dropped — by the depth key when one is given, by input order
