@@ -74,15 +74,18 @@ def main():
         )
 
     # ---- phase bodies: (scene, eps) -> scalar with data dependency ----
+    # Each mirrors the PRODUCTION tiled path (ops/tiled.composite_tiled):
+    # unsorted prepare, depth riding the binning sort.
     def ph_prepare(s, eps):
-        d = prepare_splats(perturb(s, eps), cam, config)
+        d = prepare_splats(perturb(s, eps), cam, config, sort=False)
         return d["mean2d"][0, 0] * 1e-30
 
     def _bins(s, eps):
-        d = prepare_splats(perturb(s, eps), cam, config)
+        d = prepare_splats(perturb(s, eps), cam, config, sort=False)
         return d, bin_splats(
             jax.lax.stop_gradient(d["mean2d"]),
             jax.lax.stop_gradient(d["extent"]), grid,
+            depth=jax.lax.stop_gradient(d["depth"]),
         )
 
     def ph_bin(s, eps):
