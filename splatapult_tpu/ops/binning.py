@@ -47,6 +47,7 @@ structure stays exact; the dropped instance count is reported, never silent.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax.numpy as jnp
 from jax import lax
@@ -106,6 +107,12 @@ class TileGrid:
 
 
 _EXPAND_C = 512  # slot-chunk size of the Pallas expand kernel (divides emax)
+_EXPAND_CTAB = 128  # table-block granularity of the candidate window
+# Window size: winners for the C slots of one chunk span at most C rows of
+# the compacted table (offs is strictly increasing over kept rows, so at most
+# C-1 rows start inside a C-slot span, plus the row covering the chunk start),
+# plus up to CTAB-1 rows of block-alignment slop before it.
+_EXPAND_WBLK = _EXPAND_C // _EXPAND_CTAB + 1  # window = WBLK * CTAB rows
 
 
 def _expand_fill_pallas(offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk,
@@ -114,7 +121,8 @@ def _expand_fill_pallas(offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk,
 
     The inverse of "which splat covers enumeration slot m": with the kept
     splats compacted (offs strictly increasing), the covering row for any
-    slot in chunk j lies in a 2C-row window starting at block lo_blk[j].
+    slot in chunk j lies in a (WBLK*CTAB)-row window starting at table block
+    lo_blk[j] (see _EXPAND_WBLK above for the span bound).
     Each field rides a packed (candidate_index << bits | field) masked max
     over the window — argmax-by-construction, no gather, no scatter. Replaces
     BOTH the scatter+cummax forward fill and the per-slot depth gather
@@ -126,21 +134,22 @@ def _expand_fill_pallas(offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk,
     from jax.experimental.pallas import tpu as pltpu
 
     C = _EXPAND_C
+    ctab, wblk = _EXPAND_CTAB, _EXPAND_WBLK
     tx_n = grid.tiles_x
     emax = grid.emax
     n_pad = offs_c.shape[0]
-    assert emax % C == 0 and n_pad % C == 0
+    assert emax % C == 0 and n_pad % ctab == 0 and n_pad >= wblk * ctab
 
-    def kernel(lo_ref, ta_ref, tb_ref, out_ref):
+    def kernel(lo_ref, *refs):
+        table_refs, out_ref = refs[:-1], refs[-1]
         j = pl.program_id(0)
-        floor = lo_ref[j] * C
-        cand = jnp.concatenate([ta_ref[:, :], tb_ref[:, :]], axis=0)  # [2C, 5]
-        offs_cand = cand[:, 0:1]  # [2C, 1]
+        cand = jnp.concatenate([r[:, :] for r in table_refs], axis=0)  # [W*CTAB, 5]
+        offs_cand = cand[:, 0:1]  # [W*CTAB, 1]
         m = j * C + lax.broadcasted_iota(jnp.int32, (1, C), 1)  # [1, C] slots
-        q = offs_cand <= m  # [2C, C]
-        i_loc = lax.broadcasted_iota(jnp.int32, (2 * C, 1), 0)
+        q = offs_cand <= m  # [W*CTAB, C]
+        i_loc = lax.broadcasted_iota(jnp.int32, (wblk * ctab, 1), 0)
 
-        def sel(packed):  # packed [2C, 1] -> [1, C] (value of max covering i)
+        def sel(packed):  # packed [W*CTAB, 1] -> [1, C] (value of max covering i)
             return jnp.max(jnp.where(q, packed, -1), axis=0, keepdims=True)
 
         sb = ob  # splat ids and offsets share the (widest) bit budget
@@ -163,8 +172,9 @@ def _expand_fill_pallas(offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk,
         num_scalar_prefetch=1,
         grid=(emax // C,),
         in_specs=[
-            pl.BlockSpec((C, 5), lambda j, lo: (lo[j], 0)),
-            pl.BlockSpec((C, 5), lambda j, lo: (lo[j] + 1, 0)),
+            pl.BlockSpec((ctab, 5), functools.partial(
+                lambda k, j, lo: (lo[j] + k, 0), k))
+            for k in range(wblk)
         ],
         out_specs=pl.BlockSpec((3, C), lambda j, lo: (0, j)),
     )
@@ -174,7 +184,7 @@ def _expand_fill_pallas(offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, emax), jnp.int32),
         interpret=jax.default_backend() == "cpu",
-    )(lo_blk, table, table)  # same table through two window block mappings
+    )(lo_blk, *([table] * wblk))  # same table through WBLK window block mappings
 
 
 def _bincount_by_sort(ids, num_bins: int):
@@ -299,7 +309,7 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
     valid_m = m < total
     # Pallas expand-kernel path (see _expand_fill_pallas): needs every packed
     # (candidate_index << bits | field) word to fit in int31
-    ib = (2 * _EXPAND_C - 1).bit_length()
+    ib = (_EXPAND_WBLK * _EXPAND_CTAB - 1).bit_length()
     ob = max(emax.bit_length(), max(n, 1).bit_length(), 1)
     kernelable = (
         depth is not None
@@ -310,8 +320,8 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
     )
     dep_enum = None  # per-slot sortable depth bits (kernel path only)
     if kernelable:
-        C = _EXPAND_C
-        n_pad = (-(-n // C) + 2) * C
+        C, ctab, wblk = _EXPAND_C, _EXPAND_CTAB, _EXPAND_WBLK
+        n_pad = (-(-n // ctab) + wblk) * ctab
         sent = jnp.int32((1 << ob) - 1)  # offs sentinel: never covers a slot
         dbits = lax.bitcast_convert_type(
             jnp.maximum(jnp.asarray(depth, jnp.float32), 0.0), jnp.int32
@@ -343,7 +353,7 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
             jnp.searchsorted(offs_c, chunk_starts, side="right").astype(jnp.int32) - 1,
             0, n_pad - 1,
         )
-        lo_blk = jnp.clip(lo // C, 0, n_pad // C - 2)
+        lo_blk = jnp.clip(lo // ctab, 0, n_pad // ctab - wblk)
         out3 = _expand_fill_pallas(
             offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk, grid, fbt, fbn, ob
         )
