@@ -200,6 +200,43 @@ def _bincount_by_sort(ids, num_bins: int):
     return edges[1:] - edges[:-1]
 
 
+def _tile_rects(mean2d, extent, grid: TileGrid):
+    """Per-splat covered tile rectangles -> (x0, r0, nx, ny, cnt).
+
+    The AABB-vs-tile-grid overlap that replaces the reference's geometry-
+    shader quad coverage (ref: shader/splat_geom.glsl:83-106): column range
+    [x0, x0+nx), row range [r0, r0+ny), cnt = nx*ny (0 = culled)."""
+    ts, tx_n, ty_n, h = grid.tile_size, grid.tiles_x, grid.tiles_y, grid.height
+    mx, my = mean2d[:, 0], mean2d[:, 1]
+    extent = jnp.asarray(extent)
+    if extent.ndim == 1:
+        rx = ry = extent
+    else:
+        rx, ry = extent[:, 0], extent[:, 1]
+    valid = (rx > 0.0) & (ry > 0.0)
+    x0 = jnp.clip(jnp.floor((mx - rx) / ts), 0, tx_n).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil((mx + rx) / ts), 0, tx_n).astype(jnp.int32)
+    # gl y-up -> image rows: row = height - y
+    r0 = jnp.clip(jnp.floor((h - my - ry) / ts), 0, ty_n).astype(jnp.int32)
+    r1 = jnp.clip(jnp.ceil((h - my + ry) / ts), 0, ty_n).astype(jnp.int32)
+    nx = jnp.maximum(x1 - x0, 0)
+    ny = jnp.maximum(r1 - r0, 0)
+    cnt = jnp.where(valid, nx * ny, 0).astype(jnp.int32)
+    return x0, r0, nx, ny, cnt
+
+
+def instance_demand(mean2d, extent, grid: TileGrid):
+    """Total tile-instance count this view would enumerate -> scalar int32.
+
+    The cheap pre-pass behind capacity auto-tuning: measure the demand once,
+    then size ``max_instance_mult`` with a small headroom instead of paying
+    for worst-case capacity in every sort/gather/kernel of every step (the
+    TPU-native analog of the reference's radix-workgroup auto-tuner,
+    ref: src/app.cpp:843-874)."""
+    _, _, _, _, cnt = _tile_rects(mean2d, extent, grid)
+    return jnp.sum(cnt)  # int32: fine to ~2.1e9 instances
+
+
 def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
     """Build the (tile, depth)-ordered instance buffer and flat block work-list.
 
@@ -233,21 +270,7 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
     pad_cap = num_tiles * b
     assert mcap == emax + pad_cap, (mcap, emax, pad_cap)
 
-    mx, my = mean2d[:, 0], mean2d[:, 1]
-    extent = jnp.asarray(extent)
-    if extent.ndim == 1:
-        rx = ry = extent
-    else:
-        rx, ry = extent[:, 0], extent[:, 1]
-    valid = (rx > 0.0) & (ry > 0.0)
-    x0 = jnp.clip(jnp.floor((mx - rx) / ts), 0, tx_n).astype(jnp.int32)
-    x1 = jnp.clip(jnp.ceil((mx + rx) / ts), 0, tx_n).astype(jnp.int32)
-    # gl y-up -> image rows: row = height - y
-    r0 = jnp.clip(jnp.floor((h - my - ry) / ts), 0, ty_n).astype(jnp.int32)
-    r1 = jnp.clip(jnp.ceil((h - my + ry) / ts), 0, ty_n).astype(jnp.int32)
-    nx = jnp.maximum(x1 - x0, 0)
-    ny = jnp.maximum(r1 - r0, 0)
-    cnt_raw = jnp.where(valid, nx * ny, 0).astype(jnp.int32)
+    x0, r0, nx, ny, cnt_raw = _tile_rects(mean2d, extent, grid)
 
     # overflow: drop WHOLE splats past the capacity so every kept splat's rect
     # stays complete and the histogram/padding stay exact. With depth given,

@@ -103,7 +103,10 @@ class RenderConfig:
     # --- tiled pipeline knobs (ops/tiled.py) ---
     tile_size: int = 32  # pixels per tile side
     tile_block: int = 128  # instances per compositing block
-    max_instance_mult: int = 6  # instance-buffer capacity as a multiple of N
+    # instance-buffer capacity as a (possibly fractional) multiple of N; size
+    # it from ops.binning.instance_demand + headroom when the scene/camera are
+    # known (bench.py auto-calibrates), or leave the generous default
+    max_instance_mult: float = 6.0
     early_stop_eps: float = 0.0  # skip blocks once max transmittance < eps (0 = exact)
     # ordered-grid supersampling factor: render at supersample^2 the pixel
     # count, box-filter down (the reference's USE_SUPERSAMPLING resolve,

@@ -290,3 +290,33 @@ def test_tiled_extent_tightening_lossless_low_opacity():
     a = np.asarray(render(scene, cam, TILED))
     b = np.asarray(render(scene, cam, GLOBAL))
     np.testing.assert_allclose(a, b, atol=3e-5)
+
+
+def test_instance_demand_matches_binning(rng):
+    """instance_demand == sum of per-tile counts when capacity is ample, and
+    auto-sized capacity from it binned with zero overflow."""
+    from splatapult_tpu.ops.binning import instance_demand
+    from splatapult_tpu.render import prepare_splats
+
+    scene = _random_scene(rng, n=96)
+    cam = _camera()
+    d = prepare_splats(scene, cam, TILED, sort=False)
+    grid = TileGrid.create(
+        width=TILED.width, height=TILED.height, num_splats=96,
+        tile_size=TILED.tile_size, block=TILED.tile_block, max_instance_mult=20,
+    )
+    demand = int(instance_demand(d["mean2d"], d["extent"], grid))
+    bins = bin_splats(d["mean2d"], d["extent"], grid, depth=d["depth"])
+    assert demand == int(jnp.sum(bins["tile_count"]))
+    assert int(bins["num_culled_instances"]) == 0
+
+    # a fractional mult sized from the demand also bins without overflow
+    mult = max(1.06 * demand, 1) / 96
+    grid2 = TileGrid.create(
+        width=TILED.width, height=TILED.height, num_splats=96,
+        tile_size=TILED.tile_size, block=TILED.tile_block,
+        max_instance_mult=mult,
+    )
+    bins2 = bin_splats(d["mean2d"], d["extent"], grid2, depth=d["depth"])
+    assert int(bins2["num_culled_instances"]) == 0
+    assert demand == int(jnp.sum(bins2["tile_count"]))
