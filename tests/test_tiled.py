@@ -320,3 +320,53 @@ def test_instance_demand_matches_binning(rng):
     bins2 = bin_splats(d["mean2d"], d["extent"], grid2, depth=d["depth"])
     assert int(bins2["num_culled_instances"]) == 0
     assert demand == int(jnp.sum(bins2["tile_count"]))
+
+
+def test_binning_expand_window_adversarial(monkeypatch, rng):
+    """Stress the expand kernel's tightened candidate window (WBLK*CTAB rows).
+
+    Worst case: every kept row covers exactly ONE slot, so a 512-slot chunk's
+    winners span exactly 512 consecutive rows; a prefix splat of a few slots
+    desynchronizes the offsets from table-block boundaries so the window must
+    absorb maximal alignment slop. Also: one giant rect covering every tile
+    (a single row covering many whole chunks), and long culled runs. Each
+    case must match the scatter+cummax fallback bit-exactly.
+    """
+    import dataclasses
+
+    import splatapult_tpu.ops.binning as B
+
+    # 16x16 tiles of 16px -> 256 tiles; tile centers as 1-slot splats
+    def one_slot_scene(n, prefix_radius, shift):
+        tx = 16
+        ids = (np.arange(n) * 7 + shift) % (tx * tx)
+        mx = (ids % tx) * 16.0 + 8.0
+        my = 256.0 - ((ids // tx) * 16.0 + 8.0)
+        mean2d = np.stack([mx, my], axis=1).astype(np.float32)
+        ext = np.full((n, 2), 0.5, np.float32)  # strictly inside one tile
+        if prefix_radius > 0:
+            mean2d[0] = [128.0, 128.0]
+            ext[0] = prefix_radius  # multi-tile rect desyncs the offsets
+        return jnp.asarray(mean2d), jnp.asarray(ext)
+
+    cases = []
+    for shift, prefix in [(0, 0.0), (3, 20.0), (11, 40.0), (5, 300.0)]:
+        cases.append(one_slot_scene(6000, prefix, shift))
+    # long culled runs between kept splats
+    m2, ex = one_slot_scene(6000, 0.0, 1)
+    ex = np.array(ex)
+    ex[np.arange(6000) % 13 < 6] = 0.0  # ~46% culled, in runs
+    cases.append((m2, jnp.asarray(ex)))
+
+    grid = TileGrid.create(width=256, height=256, num_splats=6000,
+                           tile_size=16, block=8, max_instance_mult=2)
+    assert grid.emax % B._EXPAND_C == 0  # kernel path active
+    for i, (mean2d, ext) in enumerate(cases):
+        depth = jnp.asarray(
+            rng.uniform(0.1, 50.0, (mean2d.shape[0],)), jnp.float32)
+        a = jax.tree.map(np.asarray, bin_splats(mean2d, ext, grid, depth=depth))
+        with monkeypatch.context() as m:
+            m.setattr(B, "_EXPAND_C", 3000)  # emax % 3000 != 0 -> fallback
+            b = jax.tree.map(np.asarray, bin_splats(mean2d, ext, grid, depth=depth))
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"case {i}: {k}")
