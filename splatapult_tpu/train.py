@@ -29,11 +29,8 @@ def l2_image_loss(img, target):
     return jnp.mean((img - target) ** 2)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "optimizer"))
-def train_step(scene: GaussianScene, opt_state, cameras: Camera, targets,
-               config: RenderConfig, optimizer):
-    """One jitted update over a [V]-batched camera/target set (single chip)."""
-
+def _train_step_impl(scene: GaussianScene, opt_state, cameras: Camera, targets,
+                     config: RenderConfig, optimizer):
     def loss_fn(scene):
         def one(cam_mat, proj, tgt):
             img = render(scene, Camera(cam_to_world=cam_mat, proj=proj), config)
@@ -45,6 +42,38 @@ def train_step(scene: GaussianScene, opt_state, cameras: Camera, targets,
     updates, opt_state = optimizer.update(grads, opt_state, scene)
     scene = optax.apply_updates(scene, updates)
     return scene, opt_state, loss
+
+
+@functools.partial(jax.jit, static_argnames=("config", "optimizer"))
+def train_step(scene: GaussianScene, opt_state, cameras: Camera, targets,
+               config: RenderConfig, optimizer):
+    """One jitted update over a [V]-batched camera/target set (single chip)."""
+    return _train_step_impl(scene, opt_state, cameras, targets, config, optimizer)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "optimizer", "steps"))
+def _fit_steps(scene: GaussianScene, opt_state, cameras: Camera, targets,
+               config: RenderConfig, optimizer, steps: int):
+    """``steps`` updates inside ONE jitted lax.scan -> (scene, opt_state,
+    losses[steps]).
+
+    A python step loop reading the loss back each iteration would force a
+    device->host sync per step (and on tunnel-attached TPUs, permanently
+    synchronous dispatch); scanning on-device costs a single readback for
+    the whole loss curve.
+    """
+
+    def body(carry, _):
+        scene, opt_state = carry
+        scene, opt_state, loss = _train_step_impl(
+            scene, opt_state, cameras, targets, config, optimizer
+        )
+        return (scene, opt_state), loss
+
+    (scene, opt_state), losses = jax.lax.scan(
+        body, (scene, opt_state), None, length=steps
+    )
+    return scene, opt_state, losses
 
 
 def fit_scene(scene: GaussianScene, cameras: Camera, targets, config: RenderConfig,
@@ -88,6 +117,12 @@ def fit_scene(scene: GaussianScene, cameras: Camera, targets, config: RenderConf
                 callback(step, scene, losses[-1])
         return scene, losses
     targets = jnp.asarray(targets)
+    if callback is None:
+        # whole fit in one on-device scan: one readback for the loss curve
+        scene, _, loss_arr = _fit_steps(
+            scene, opt_state, cameras, targets, config, optimizer, steps
+        )
+        return scene, [float(l) for l in jnp.asarray(loss_arr)]
     for step in range(steps):
         scene, opt_state, loss = train_step(scene, opt_state, cameras, targets, config, optimizer)
         losses.append(float(loss))

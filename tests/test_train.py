@@ -71,3 +71,28 @@ def test_fit_with_mesh():
     fitted, losses = fit_scene(start, cams, targets, cfg, steps=5, learning_rate=1e-2, mesh=mesh)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_fit_scan_matches_step_loop():
+    """The on-device lax.scan fit (callback=None) must produce the same loss
+    curve and parameters as the python step loop (callback given)."""
+    target_scene = make_debug_scene()
+    cams = _cameras()
+    targets = jnp.stack(
+        [render(target_scene, Camera(cam_to_world=m, proj=p), CFG)
+         for m, p in zip(cams.cam_to_world, cams.proj)]
+    )
+    start = GaussianScene(
+        means=target_scene.means + 0.02,
+        sh=target_scene.sh * 0.8,
+        opacities=target_scene.opacities,
+        log_scales=target_scene.log_scales,
+        quats=target_scene.quats,
+    )
+    f_scan, l_scan = fit_scene(start, cams, targets, CFG, steps=4, learning_rate=1e-2)
+    f_loop, l_loop = fit_scene(start, cams, targets, CFG, steps=4, learning_rate=1e-2,
+                               callback=lambda *_: None)
+    np.testing.assert_allclose(l_scan, l_loop, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(f_scan), jax.tree.leaves(f_loop)):
+        # scan and loop fuse differently; allow last-ulp-scale drift
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
