@@ -351,6 +351,14 @@ NUM_GRAD_COLS = 9  # d_mx, d_my, d_qa, d_qb, d_qc, d_lna, dr, dg, db
 def _bwd_call(inst, block_meta, out_res, dout, grid: TileGrid):
     """-> [9, mcap] per-instance gradient columns (rows are contiguous [mcap]
     slices in instance order)."""
+    if not _interpret() and grid.block % 128 != 0 and grid.block != grid.mcap:
+        raise ValueError(
+            f"tile_block={grid.block} is not lowerable on TPU: the backward "
+            f"kernel's [9, tile_block] gradient output block needs a lane "
+            f"dimension divisible by 128 (Mosaic constraint). Use "
+            f"tile_block=128 (the tuned default); arbitrary blocks run in "
+            f"CPU interpret mode only."
+        )
     p = grid.tile_pixels
     kernel = functools.partial(_bwd_kernel, grid)
     grid_spec = pltpu.PrefetchScalarGridSpec(
