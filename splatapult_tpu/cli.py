@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 import time
 
@@ -258,6 +259,27 @@ def cmd_bench(args):
     }))
 
 
+def cmd_save_pose(args):
+    """Persist a viewpoint as <ply>_vr.json — the reference's Return-key pose
+    save (ref: src/app.cpp:700-732): on desktop it stores the camera matrix
+    lowered by 1.5 m as the scene's floor transform, auto-applied on the next
+    launch (ref: src/app.cpp:443-461)."""
+    from splatapult_tpu.core import transforms as T
+    from splatapult_tpu.io.configs import save_vr_config
+
+    scene, cameras, floor, found = _load_scene_and_assets(args)
+    cam = _make_camera(args, cameras, floor)
+    floor_mat = np.asarray(cam.cam_to_world)
+    # desktop save: floorMat = cameraMat translated 1.5 m down its own up axis
+    # (ref: src/app.cpp:713-721)
+    floor_mat = floor_mat.copy()
+    floor_mat[:3, 3] -= args.eye_height * floor_mat[:3, 1]
+    out = args.output if args.output != "out.png" else (
+        os.path.splitext(args.ply)[0] + "_vr.json")
+    save_vr_config(out, floor_mat)
+    print(f"wrote {out}")
+
+
 def cmd_info(args):
     from splatapult_tpu.io.configs import discover_scene, load_cameras_json
     from splatapult_tpu.io.gaussians import load_gaussian_ply
@@ -313,6 +335,15 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--iters", type=int, default=20)
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser(
+        "save-pose",
+        help="save a viewpoint as <ply>_vr.json (the reference's Return-key "
+             "pose save, ref src/app.cpp:700-732)")
+    _add_common(p)
+    p.add_argument("--eye-height", type=float, default=1.5,
+                   help="meters the floor sits below the camera (ref 1.5)")
+    p.set_defaults(fn=cmd_save_pose)
 
     p = sub.add_parser("info", help="print scene info + discovered configs")
     p.add_argument("ply")

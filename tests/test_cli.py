@@ -92,3 +92,22 @@ def test_cli_points(tmp_path):
           "--pipeline", "global"])
     img = load_png(out)
     assert img.max() > 0.05
+
+
+def test_cli_save_pose(tmp_path, test_ply_path):
+    # the Return-key pose save (ref: src/app.cpp:700-732): write a floor
+    # transform, then confirm a render discovers and applies it
+    import shutil
+
+    ply = str(tmp_path / "scene.ply")
+    shutil.copy(test_ply_path, ply)
+    main(["save-pose", ply, "--eye", "0", "0.5", "2.5", "--no-floor"])
+    vr = str(tmp_path / "scene_vr.json")
+    assert os.path.exists(vr)
+    mat = np.asarray(json.load(open(vr))["floorMat"], np.float32).reshape(4, 4).T
+    # floorMat = camera pose lowered 1.5 m along its own up axis
+    assert np.isfinite(mat).all() and abs(mat[3, 3] - 1.0) < 1e-6
+    out = str(tmp_path / "posed.png")
+    main(["render", ply, "-o", out, "--width", "32", "--height", "32",
+          "--pipeline", "global"])
+    assert os.path.exists(out)
