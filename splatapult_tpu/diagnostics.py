@@ -25,20 +25,28 @@ def render_stats(scene, camera, config):
     from splatapult_tpu.ops.tiled import _grid_from_config
     from splatapult_tpu.render import prepare_splats
 
-    sorted_splats = prepare_splats(scene, camera, config)
+    # mirror the PRODUCTION tiled path: unsorted prepare, depth riding the
+    # binning sort (prepare(sort=True) is the legacy/global-pipeline path)
+    d = prepare_splats(scene, camera, config, sort=False)
     grid = _grid_from_config(config, scene.means.shape[0])
     bins = bin_splats(
-        jax.lax.stop_gradient(sorted_splats["mean2d"]),
-        jax.lax.stop_gradient(sorted_splats["extent"]),
+        jax.lax.stop_gradient(d["mean2d"]),
+        jax.lax.stop_gradient(d["extent"]),
         grid,
+        depth=jax.lax.stop_gradient(d["depth"]),
     )
     tile_count = np.asarray(bins["tile_count"])
+    num_instances = int(tile_count.sum())
     return {
         "num_splats": int(scene.means.shape[0]),
-        "num_visible": int(np.asarray(sorted_splats["mask"]).sum()),
-        "num_instances": int(tile_count.sum()),
+        "num_visible": int(np.asarray(d["mask"]).sum()),
+        "num_instances": num_instances,
         "num_culled_instances": int(bins["num_culled_instances"]),
         "instance_capacity": grid.mcap,
+        # enumeration-capacity utilization; near 1.0 risks overflow culling,
+        # far below 1.0 wastes sort/gather/kernel time (size the capacity
+        # from ops.binning.instance_demand, as bench.py does)
+        "capacity_utilization": round(num_instances / max(grid.emax, 1), 4),
         "tiles": grid.num_tiles,
         "max_tile_instances": int(tile_count.max()),
         "mean_tile_instances": float(tile_count.mean()),

@@ -319,12 +319,15 @@ def render(scene: GaussianScene, camera: Camera, config: RenderConfig) -> jax.Ar
 
 
 def render_batch(scene: GaussianScene, cameras: Camera, config: RenderConfig) -> jax.Array:
-    """vmap over a camera batch -> [V, H, W, 4].
+    """Render a camera batch -> [V, H, W, 4].
 
     The batch analog of the reference's camera-path cycling (`n`/`p` keys,
     ref: src/app.cpp:650-674) and of its stereo two-view loop
-    (ref: src/app.cpp:603-607); the per-splat projection/sort work that the
-    reference shares across stereo eyes is shared here by XLA CSE where views
-    coincide, and otherwise batched.
+    (ref: src/app.cpp:603-607). Views run as a sequential `lax.map` (one
+    compiled body, V executions): vmapping the tiled pipeline batches its
+    sorts and Pallas kernels poorly — measured 220 ms/view vmapped vs
+    124 ms/view sequential at 1M splats 1080p (PERF.md). For cross-chip view
+    parallelism use parallel.render_batch_sharded, which shards the batch
+    over the mesh's `views` axis instead.
     """
-    return jax.vmap(lambda cam: render(scene, cam, config))(cameras)
+    return jax.lax.map(lambda cam: render(scene, cam, config), cameras)
