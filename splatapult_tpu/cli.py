@@ -264,18 +264,19 @@ def cmd_save_pose(args):
     save (ref: src/app.cpp:700-732): on desktop it stores the camera matrix
     lowered by 1.5 m as the scene's floor transform, auto-applied on the next
     launch (ref: src/app.cpp:443-461)."""
-    from splatapult_tpu.core import transforms as T
-    from splatapult_tpu.io.configs import save_vr_config
+    from splatapult_tpu.io.configs import discover_scene, load_cameras_json, save_vr_config
 
-    scene, cameras, floor, found = _load_scene_and_assets(args)
-    cam = _make_camera(args, cameras, floor)
-    floor_mat = np.asarray(cam.cam_to_world)
+    # configs only — the splat payload is irrelevant to a 4x4 pose write
+    found = discover_scene(args.ply)
+    cameras = load_cameras_json(found["cameras_json"]) if found["cameras_json"] else []
+    # the reference saves the LIVE world-space camera; composing an already-
+    # saved floor transform in would compound on every save, so none is applied
+    cam = _make_camera(args, cameras, floor=None)
+    floor_mat = np.array(cam.cam_to_world)
     # desktop save: floorMat = cameraMat translated 1.5 m down its own up axis
     # (ref: src/app.cpp:713-721)
-    floor_mat = floor_mat.copy()
     floor_mat[:3, 3] -= args.eye_height * floor_mat[:3, 1]
-    out = args.output if args.output != "out.png" else (
-        os.path.splitext(args.ply)[0] + "_vr.json")
+    out = args.output or (os.path.splitext(args.ply)[0] + "_vr.json")
     save_vr_config(out, floor_mat)
     print(f"wrote {out}")
 
@@ -343,7 +344,8 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--eye-height", type=float, default=1.5,
                    help="meters the floor sits below the camera (ref 1.5)")
-    p.set_defaults(fn=cmd_save_pose)
+    # -o default becomes <ply>_vr.json (the common default is a .png)
+    p.set_defaults(fn=cmd_save_pose, output=None)
 
     p = sub.add_parser("info", help="print scene info + discovered configs")
     p.add_argument("ply")

@@ -351,7 +351,7 @@ NUM_GRAD_COLS = 9  # d_mx, d_my, d_qa, d_qb, d_qc, d_lna, dr, dg, db
 def _bwd_call(inst, block_meta, out_res, dout, grid: TileGrid):
     """-> [9, mcap] per-instance gradient columns (rows are contiguous [mcap]
     slices in instance order)."""
-    if not _interpret() and grid.block % 128 != 0 and grid.block != grid.mcap:
+    if not _interpret() and grid.block % 128 != 0:
         raise ValueError(
             f"tile_block={grid.block} is not lowerable on TPU: the backward "
             f"kernel's [9, tile_block] gradient output block needs a lane "

@@ -19,6 +19,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from splatapult_tpu.io.gaussians import GaussianScene
@@ -51,6 +52,9 @@ def train_step(scene: GaussianScene, opt_state, cameras: Camera, targets,
     return _train_step_impl(scene, opt_state, cameras, targets, config, optimizer)
 
 
+_FIT_CHUNK = 32  # scan length compiled once and reused for any step count
+
+
 @functools.partial(jax.jit, static_argnames=("config", "optimizer", "steps"))
 def _fit_steps(scene: GaussianScene, opt_state, cameras: Camera, targets,
                config: RenderConfig, optimizer, steps: int):
@@ -60,7 +64,9 @@ def _fit_steps(scene: GaussianScene, opt_state, cameras: Camera, targets,
     A python step loop reading the loss back each iteration would force a
     device->host sync per step (and on tunnel-attached TPUs, permanently
     synchronous dispatch); scanning on-device costs a single readback for
-    the whole loss curve.
+    the whole loss curve. fit_scene always calls this with steps equal to
+    _FIT_CHUNK or the (< _FIT_CHUNK) remainder, so at most two scan programs
+    compile regardless of the requested step count.
     """
 
     def body(carry, _):
@@ -118,11 +124,18 @@ def fit_scene(scene: GaussianScene, cameras: Camera, targets, config: RenderConf
         return scene, losses
     targets = jnp.asarray(targets)
     if callback is None:
-        # whole fit in one on-device scan: one readback for the loss curve
-        scene, _, loss_arr = _fit_steps(
-            scene, opt_state, cameras, targets, config, optimizer, steps
-        )
-        return scene, [float(l) for l in jnp.asarray(loss_arr)]
+        # on-device scan in fixed-size chunks: one compile per chunk shape
+        # (at most two), a handful of readbacks for the whole loss curve
+        losses = []
+        done = 0
+        while done < steps:
+            n = min(_FIT_CHUNK, steps - done)
+            scene, opt_state, loss_arr = _fit_steps(
+                scene, opt_state, cameras, targets, config, optimizer, n
+            )
+            losses.extend(np.asarray(loss_arr).tolist())
+            done += n
+        return scene, losses
     for step in range(steps):
         scene, opt_state, loss = train_step(scene, opt_state, cameras, targets, config, optimizer)
         losses.append(float(loss))

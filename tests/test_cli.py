@@ -111,3 +111,22 @@ def test_cli_save_pose(tmp_path, test_ply_path):
     main(["render", ply, "-o", out, "--width", "32", "--height", "32",
           "--pipeline", "global"])
     assert os.path.exists(out)
+
+
+def test_cli_save_pose_idempotent(tmp_path, test_ply_path):
+    # repeated saves with the same inputs must write the same matrix — the
+    # saved floor transform must never compound into the next save
+    import shutil
+
+    ply = str(tmp_path / "scene.ply")
+    shutil.copy(test_ply_path, ply)
+    vr = str(tmp_path / "scene_vr.json")
+    main(["save-pose", ply, "--eye", "0", "0.5", "2.5"])
+    first = json.load(open(vr))["floorMat"]
+    main(["save-pose", ply, "--eye", "0", "0.5", "2.5"])
+    second = json.load(open(vr))["floorMat"]
+    np.testing.assert_array_equal(first, second)
+    # explicit -o out.png is honored verbatim (no sentinel-default surprise)
+    out = str(tmp_path / "out.png")
+    main(["save-pose", ply, "--eye", "0", "0.5", "2.5", "-o", out])
+    assert os.path.exists(out) and json.load(open(out))["floorMat"] == first

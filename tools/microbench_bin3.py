@@ -69,9 +69,8 @@ def main():
     grid = TileGrid.create(width=1920, height=1080, num_splats=n,
                            tile_size=32, block=128, max_instance_mult=2,
                            early_stop_eps=1e-4)
-    ts, tx_n, ty_n = grid.tile_size, grid.tiles_x, grid.tiles_y
+    tx_n = grid.tiles_x
     num_tiles, b, emax, mcap = grid.num_tiles, grid.block, grid.emax, grid.mcap
-    h = grid.height
     fbt = max(int(num_tiles).bit_length(), 1)
     fbn = max(int(tx_n).bit_length(), 1)
     ob = max(emax.bit_length(), max(n, 1).bit_length(), 1)
@@ -81,19 +80,15 @@ def main():
 
     @jax.jit
     def build(scene):
-        """All binning intermediates, on-device (mirrors bin_splats)."""
+        """All binning intermediates, on-device (mirrors bin_splats' kernel
+        path; NOTE: input-order prefix truncation stands in for production's
+        depth-aware overflow drop — probe scenes must fit emax, asserted
+        below)."""
+        from splatapult_tpu.ops.binning import _tile_rects
+
         d = prepare_splats(scene, cam, config, sort=False)
         mean2d, extent, depth = d["mean2d"], d["extent"], d["depth"]
-        mx, my = mean2d[:, 0], mean2d[:, 1]
-        rx, ry = extent[:, 0], extent[:, 1]
-        valid = (rx > 0.0) & (ry > 0.0)
-        x0 = jnp.clip(jnp.floor((mx - rx) / ts), 0, tx_n).astype(jnp.int32)
-        x1 = jnp.clip(jnp.ceil((mx + rx) / ts), 0, tx_n).astype(jnp.int32)
-        r0 = jnp.clip(jnp.floor((h - my - ry) / ts), 0, ty_n).astype(jnp.int32)
-        r1 = jnp.clip(jnp.ceil((h - my + ry) / ts), 0, ty_n).astype(jnp.int32)
-        nx = jnp.maximum(x1 - x0, 0)
-        ny = jnp.maximum(r1 - r0, 0)
-        cnt = jnp.where(valid, nx * ny, 0).astype(jnp.int32)
+        x0, r0, nx, ny, cnt = _tile_rects(mean2d, extent, grid)
         offs = jnp.cumsum(cnt) - cnt
         total = offs[-1] + cnt[-1]
         kept = (cnt > 0) & (offs + cnt <= emax)
@@ -146,6 +141,7 @@ def main():
     iv = {k: v for k, v in iv.items()}
     print(f"total instances {int(iv['total'])} ({int(iv['total']) / n:.2f}/splat), "
           f"emax {emax}, mcap {mcap}", flush=True)
+    assert int(iv['total']) <= emax, "probe scene overflows emax; timings would diverge from production"
 
     # 1. compaction sort (6 operands, stable, 1-key) over N
     def f_compact(c, nk, offs_k, tnx, dhi, dlo, sid):
