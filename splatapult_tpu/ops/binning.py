@@ -350,15 +350,16 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
             jnp.maximum(jnp.asarray(depth, jnp.float32), 0.0), jnp.int32
         )  # non-negative f32 bits sort like the floats
         # compact kept rows to a prefix (strictly increasing offs bounds the
-        # kernel's candidate window); ONE stable 1-key sort moves all columns
+        # kernel's candidate window); ONE stable 1-key sort moves all columns.
+        # Depth rides as one 32-bit operand and splits into the kernel's two
+        # 16-bit sel fields after the sort (sort cost is per operand).
         nk = (~kept).astype(jnp.int32)
-        _, offs_c, tnx_c, dhi_c, dlo_c, sid_c = lax.sort(
+        _, offs_c, tnx_c, dbits_c, sid_c = lax.sort(
             (
                 nk,
                 jnp.where(kept, offs, sent),
                 (r0 * tx_n + x0) << fbn | jnp.maximum(nx, 1),
-                dbits >> 16,
-                dbits & 0xFFFF,
+                dbits,
                 jnp.arange(n, dtype=jnp.int32),
             ),
             num_keys=1,
@@ -368,8 +369,9 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
         offs_c = jnp.concatenate([offs_c, jnp.full((pad_rows,), sent, jnp.int32)])
         zpad = jnp.zeros((pad_rows,), jnp.int32)
         tnx_c = jnp.concatenate([tnx_c, zpad])
-        dhi_c = jnp.concatenate([dhi_c, zpad])
-        dlo_c = jnp.concatenate([dlo_c, zpad])
+        dbits_c = jnp.concatenate([dbits_c, zpad])
+        dhi_c = dbits_c >> 16
+        dlo_c = dbits_c & 0xFFFF
         sid_c = jnp.concatenate([sid_c, zpad])
         chunk_starts = jnp.arange(emax // C, dtype=jnp.int32) * C
         lo = jnp.clip(
