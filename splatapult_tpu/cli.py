@@ -295,8 +295,15 @@ def cmd_info(args):
     for key in ("cameras_json", "vr_json", "input_ply"):
         print(f"{key + ':':13s}{found[key]}")
     if found["cameras_json"]:
+        from splatapult_tpu.io.configs import estimate_floor_plane
+
         cams = load_cameras_json(found["cameras_json"])
         print(f"cameras:     {len(cams)}")
+        # mean-camera-up floor estimate, the pose fallback the reference uses
+        # when no <ply>_vr.json exists (ref: src/camerasconfig.cpp:69-95,
+        # src/app.cpp:463-504)
+        normal, point = estimate_floor_plane(cams)
+        print(f"floor est.:  normal {np.round(normal, 3)} point {np.round(point, 3)}")
 
 
 def main(argv=None):
