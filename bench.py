@@ -113,43 +113,23 @@ def main():
             T.look_at(eye=[0.0, 0.8, 4.5], target=[0, 0, 0], up=[0, 1, 0]),
             fovy=np.pi / 4, width=args.width, height=args.height,
         )
-    mult = args.instance_mult
-    if mult <= 0.0:
-        # auto-calibrate capacity: measure the true tile-instance demand of
-        # the bench view(s) once, add 6% headroom (rounded up to the TileGrid
-        # 4096-slot granularity). One tiny extra compile; every per-step
-        # sort/gather/kernel then runs at right-sized rather than worst-case
-        # capacity.
-        from splatapult_tpu.ops.binning import TileGrid, instance_demand
-        from splatapult_tpu.render import prepare_splats
-
-        probe = RenderConfig(width=args.width, height=args.height,
-                             pipeline="tiled", tile_size=args.tile_size)
-        pgrid = TileGrid.create(width=args.width, height=args.height,
-                                num_splats=args.splats, tile_size=args.tile_size)
-
-        @jax.jit
-        def _demand(s, c):
-            d = prepare_splats(s, c, probe, sort=False)
-            return instance_demand(d["mean2d"], d["extent"], pgrid)
-
-        if args.views > 1:
-            demand = int(max(
-                int(_demand(scene, Camera(cam.cam_to_world[i], cam.proj[i])))
-                for i in range(args.views)
-            ))
-        else:
-            demand = int(_demand(scene, cam))
-        mult = max(1.06 * demand, 4096) / max(args.splats, 1)
-        if args.verbose:
-            print(f"# auto capacity: demand {demand} instances "
-                  f"({demand / max(args.splats, 1):.2f}/splat) -> mult {mult:.3f}")
     config = RenderConfig(
         width=args.width, height=args.height, pipeline="tiled",
         tile_size=args.tile_size, tile_block=args.tile_block,
-        max_instance_mult=mult,
+        max_instance_mult=args.instance_mult,
         early_stop_eps=args.early_stop,
     )
+    if args.instance_mult <= 0.0:
+        # auto-calibrate capacity from the measured demand of the bench
+        # view(s): one tiny extra compile, then every per-step
+        # sort/gather/kernel runs at right-sized rather than worst-case
+        # capacity (render.calibrate_config)
+        from splatapult_tpu.render import calibrate_config
+
+        config = calibrate_config(scene, cam, config)
+        if args.verbose:
+            print(f"# auto capacity: mult {config.max_instance_mult:.3f} "
+                  f"({config.max_instance_mult / 1.06:.2f} inst/splat measured)")
 
     # Timing methodology: this environment's TPU tunnel makes
     # jax.block_until_ready a no-op until the first device->host readback, and

@@ -20,7 +20,13 @@ rotations, opacities and SH coefficients.
 __version__ = "0.1.0"
 
 from splatapult_tpu.io.gaussians import GaussianScene, load_gaussian_ply, save_gaussian_ply
-from splatapult_tpu.render import RenderConfig, Camera, render
+from splatapult_tpu.render import (
+    Camera,
+    RenderConfig,
+    calibrate_config,
+    render,
+    render_batch,
+)
 
 __all__ = [
     "GaussianScene",
@@ -28,5 +34,7 @@ __all__ = [
     "save_gaussian_ply",
     "RenderConfig",
     "Camera",
+    "calibrate_config",
     "render",
+    "render_batch",
 ]

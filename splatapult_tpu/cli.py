@@ -229,11 +229,13 @@ def cmd_bench(args):
     import jax.numpy as jnp
 
     from splatapult_tpu.io.gaussians import GaussianScene
-    from splatapult_tpu.render import render
+    from splatapult_tpu.render import calibrate_config, render
 
     scene, cameras, floor, _ = _load_scene_and_assets(args)
     cam = _make_camera(args, cameras, floor)
-    cfg = _config(args)
+    cfg = calibrate_config(scene, cam, _config(args))
+    log.info("auto capacity: %.2f instance slots per splat",
+             cfg.max_instance_mult)
 
     def one(s, eps):
         img = render(

@@ -318,6 +318,47 @@ def render(scene: GaussianScene, camera: Camera, config: RenderConfig) -> jax.Ar
     raise ValueError(f"unknown pipeline {config.pipeline!r}")
 
 
+def calibrate_config(scene: GaussianScene, cameras: Camera,
+                     config: RenderConfig, headroom: float = 1.06) -> RenderConfig:
+    """Right-size the tiled pipeline's instance capacity for known view(s).
+
+    Measures the true tile-instance demand of each camera (one cheap jitted
+    pre-pass; ops.binning.instance_demand) and returns a config whose
+    ``max_instance_mult`` fits the peak demand plus ``headroom`` — every
+    per-step sort/gather/kernel then runs at measured rather than worst-case
+    capacity (the TPU analog of the reference's radix-workgroup auto-tuner,
+    ref: src/app.cpp:843-874). Re-calibrate (and pay one recompile) when the
+    camera moves enough to change the demand materially; overflow is always
+    counted, never silent, so a stale calibration degrades visibly rather
+    than incorrectly.
+
+    cameras: a single Camera or a [V]-batched one (leading axis on both
+    fields); the peak demand across views is used.
+    """
+    from splatapult_tpu.ops.binning import TileGrid, instance_demand
+
+    grid = TileGrid.create(width=config.width, height=config.height,
+                           num_splats=scene.means.shape[0],
+                           tile_size=config.tile_size)
+
+    @jax.jit
+    def _demand(scene, cam):
+        d = prepare_splats(scene, cam, config, sort=False)
+        return instance_demand(d["mean2d"], d["extent"], grid)
+
+    mats = jnp.asarray(cameras.cam_to_world)
+    if mats.ndim == 2:
+        demand = int(_demand(scene, cameras))
+    else:
+        demand = max(
+            int(_demand(scene, Camera(cameras.cam_to_world[i], cameras.proj[i])))
+            for i in range(mats.shape[0])
+        )
+    n = max(scene.means.shape[0], 1)
+    mult = max(headroom * demand, 4096) / n
+    return dataclasses.replace(config, max_instance_mult=mult)
+
+
 def render_batch(scene: GaussianScene, cameras: Camera, config: RenderConfig) -> jax.Array:
     """Render a camera batch -> [V, H, W, 4].
 

@@ -211,3 +211,27 @@ def test_render_supersample_resolve():
     manual = hi.reshape(32, 2, 32, 2, 4).mean(axis=(1, 3))
     assert ss.shape == (32, 32, 4)
     np.testing.assert_allclose(ss, manual, atol=1e-6)
+
+
+def test_calibrate_config_right_sizes_capacity():
+    """calibrate_config fits the measured demand with headroom: rendering
+    under the calibrated capacity matches the generous-default render and
+    reports zero overflow."""
+    from splatapult_tpu.ops.binning import TileGrid, bin_splats
+    from splatapult_tpu.render import calibrate_config, prepare_splats
+
+    scene = make_debug_scene()
+    cfg = RenderConfig(width=64, height=64, pipeline="tiled", tile_size=16,
+                       tile_block=8, max_instance_mult=5000)
+    cam = _debug_camera(64, 64)
+    cal = calibrate_config(scene, cam, cfg)
+    assert cal.max_instance_mult < 5000
+    a = np.asarray(render(scene, cam, cfg))
+    b = np.asarray(render(scene, cam, cal))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    d = prepare_splats(scene, cam, cal, sort=False)
+    grid = TileGrid.create(width=64, height=64, num_splats=scene.means.shape[0],
+                           tile_size=16, block=8,
+                           max_instance_mult=cal.max_instance_mult)
+    bins = bin_splats(d["mean2d"], d["extent"], grid, depth=d["depth"])
+    assert int(bins["num_culled_instances"]) == 0

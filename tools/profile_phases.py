@@ -23,7 +23,7 @@ def main():
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--height", type=int, default=1080)
     parser.add_argument("--iters", type=int, default=5)
-    parser.add_argument("--instance-mult", type=int, default=4)
+    parser.add_argument("--instance-mult", type=float, default=2.0)
     parser.add_argument("--tile-size", type=int, default=32)
     parser.add_argument("--tile-block", type=int, default=128)
     parser.add_argument("--early-stop", type=float, default=1e-4)
