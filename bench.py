@@ -78,6 +78,22 @@ def main():
     )
     parser.add_argument("--tile-size", type=int, default=32)
     parser.add_argument("--tile-block", type=int, default=128)
+    # The bench's default profile is the production-training configuration:
+    # two documented, test-covered precision knobs are ON (the library's
+    # RenderConfig defaults keep both OFF, i.e. exact f32). Ablations and
+    # measured error bounds in PERF.md; disable to measure the exact path.
+    parser.add_argument(
+        "--grad-sort-dtype", default="bfloat16", choices=("float32", "bfloat16"),
+        help="dtype per-instance grads ride through the backward transpose "
+             "sort (bf16 halves that sort's bytes; per-splat sums stay f32; "
+             "grads within ~0.4%% of peak — float32 for the exact path)",
+    )
+    parser.add_argument(
+        "--packed-colors", action=argparse.BooleanOptionalAction, default=True,
+        help="pack splat RGB as 16-bit fixed point (max color error 1.2e-4) "
+             "so feature rows hit the fast 32 B row-gather path "
+             "(--no-packed-colors for exact f32 colors)",
+    )
     parser.add_argument(
         "--early-stop", type=float, default=1e-4,
         help="skip blocks once a tile's max transmittance falls below this "
@@ -118,6 +134,8 @@ def main():
         tile_size=args.tile_size, tile_block=args.tile_block,
         max_instance_mult=args.instance_mult,
         early_stop_eps=args.early_stop,
+        grad_sort_dtype=args.grad_sort_dtype,
+        packed_colors=args.packed_colors,
     )
     if args.instance_mult <= 0.0:
         # auto-calibrate capacity from the measured demand of the bench

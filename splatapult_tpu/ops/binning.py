@@ -69,6 +69,16 @@ class TileGrid:
     # the reference's --fp32/--fp16 offscreen-FBO knob (ref: src/app.cpp:
     # 1000-1035); per-block math stays f32 either way
     accum_dtype: str = "float32"
+    # dtype the PER-INSTANCE gradient columns ride through the backward's
+    # transpose sort ("float32"/"bfloat16"). The sort is byte-bound, so bf16
+    # halves its payload traffic; per-splat sums still accumulate in f32
+    grad_sort_dtype: str = "float32"
+    # pack splat RGB as 16-bit fixed point (step 2^-12, range +-8) so feature
+    # rows shrink from 64 B to 32 B — 32 B rows gather ~1.85x faster on v5e
+    # (tools/microbench_gather.py). Geometry/opacity stay exact f32; max
+    # per-splat color error 1.2e-4 (the reference's own --fp16 FBO stores the
+    # whole accumulated frame at half precision, far coarser)
+    packed_colors: bool = False
 
     @property
     def tiles_x(self) -> int:
@@ -93,9 +103,11 @@ class TileGrid:
     @staticmethod
     def create(width, height, num_splats, tile_size=32, block=128,
                max_instance_mult=6, alpha_cutoff=1.0 / 256.0, early_stop_eps=0.0,
-               accum_dtype="float32"):
+               accum_dtype="float32", grad_sort_dtype="float32",
+               packed_colors=False):
         assert block & (block - 1) == 0, "block must be a power of two"
         assert accum_dtype in ("float32", "bfloat16"), accum_dtype
+        assert grad_sort_dtype in ("float32", "bfloat16"), grad_sort_dtype
         emax = max(4096, -(-int(max_instance_mult * max(num_splats, 1)) // 4096) * 4096)
         tiles = (-(-width // tile_size)) * (-(-height // tile_size))
         mcap = emax + tiles * block  # worst-case alignment padding: < block per tile
@@ -103,6 +115,7 @@ class TileGrid:
             width=width, height=height, tile_size=tile_size, block=block,
             emax=emax, mcap=mcap, alpha_cutoff=alpha_cutoff,
             early_stop_eps=early_stop_eps, accum_dtype=accum_dtype,
+            grad_sort_dtype=grad_sort_dtype, packed_colors=packed_colors,
         )
 
 

@@ -63,6 +63,51 @@ NULL_LN_ALPHA = -100.0  # exp(-100) == 0 in float32
 # feature column indices
 F_MX, F_MY, F_QA, F_QB, F_QC, F_LNA, F_R, F_G, F_B = range(9)
 NUM_MOMS = 8  # [u^2, uv, v^2, u, v, 1] + 2 zero-pad columns
+# packed_colors mode: 16-bit fixed-point color quantization (step 2^-12,
+# range +-8); rows shrink to 8 cols = 32 B, the fast row-gather shape on v5e
+COLOR_SCALE = 4096.0
+NUM_FEATS_PACKED = 8
+
+
+def _num_feats(grid) -> int:
+    return NUM_FEATS_PACKED if grid.packed_colors else NUM_FEATS
+
+
+def _pack_color_feats(feats):
+    """[*, 16] f32 feature rows -> [*, 8] INT32: cols 0-5 the bit-cast f32
+    geometry + ln-alpha, RGB as three 16-bit fixed-point halves in cols 6-7.
+
+    The array is int32, not f32 with integer payloads: packed color words
+    whose bits happen to form a NaN (any q in [-128, -1] sets the f32
+    exponent field all-ones) get their payload canonicalized somewhere in
+    the XLA TPU pipeline — integer arrays are never touched. (Also the
+    fastest measured row-gather shape: i32x8 at 3.34 ns/idx.)"""
+    q = jnp.clip(
+        jnp.round(feats[:, F_R : F_R + 3] * COLOR_SCALE), -32768.0, 32767.0
+    ).astype(jnp.int32)
+    cw0 = (q[:, 0:1] << 16) | (q[:, 1:2] & 0xFFFF)
+    cw1 = q[:, 2:3] << 16
+    geo = lax.bitcast_convert_type(feats[:, :6], jnp.int32)
+    return jnp.concatenate([geo, cw0, cw1], axis=1)
+
+
+def _unpack_feats(raw, grid):
+    """Kernel-side feature decode -> (geometry [B, >=6] f32, colors [B, 3] f32).
+
+    raw is the block's feature ref contents: [B, 16] f32 in exact mode, or
+    [B, 8] int32 in packed_colors mode (see _pack_color_feats)."""
+    if not grid.packed_colors:
+        return raw, raw[:, F_R : F_R + 3]
+    # bitcast the WHOLE register block (a free reinterpret — slicing first
+    # forces a [B, 6] relayout pass per block); cols 6-7 of geo are garbage
+    # floats no caller reads (geometry indices are all < 6)
+    geo = lax.bitcast_convert_type(raw, jnp.float32)
+    u = raw[:, 6:8]  # [B, 2] int32
+    inv = 1.0 / COLOR_SCALE
+    r = (u[:, 0:1] >> 16).astype(jnp.float32) * inv  # arithmetic shift: sign ok
+    g = ((u[:, 0:1] << 16) >> 16).astype(jnp.float32) * inv  # sign-extend low half
+    b = (u[:, 1:2] >> 16).astype(jnp.float32) * inv
+    return geo, jnp.concatenate([r, g, b], axis=1)
 
 
 def _interpret() -> bool:
@@ -183,7 +228,7 @@ def _fwd_kernel(grid: TileGrid, meta_ref, inst_ref, out_ref):
         )
 
     def body():
-        feats = inst_ref[:, :]  # [B, 16]
+        feats, colors = _unpack_feats(inst_ref[:, :], grid)
         px, py = _pixel_coords(t, grid)
         w = _block_weights(feats, px, py, grid)
         one_minus = 1.0 - w
@@ -195,7 +240,7 @@ def _fwd_kernel(grid: TileGrid, meta_ref, inst_ref, out_ref):
         t_new = t_run * block_prod
         # color accumulation: one [3, B] x [B, P] matmul on the MXU instead
         # of three separate sublane reductions
-        cmat = jnp.transpose(feats[:, F_R : F_R + 3])  # [3, B]
+        cmat = jnp.transpose(colors)  # [3, B]
         contrib = jnp.dot(cmat, eff, preferred_element_type=jnp.float32)  # [3, P]
         out_ref[0, 0:3, :] = (out_ref[0, 0:3, :].astype(jnp.float32) + contrib).astype(acc)
         out_ref[0, 3:4, :] = (1.0 - t_new).astype(acc)
@@ -230,7 +275,7 @@ def _bwd_kernel(grid: TileGrid, meta_ref, inst_ref, basis_ref,
         carry[1:4, :] = jnp.zeros_like(carry[1:4, :])  # C_sofar rgb
 
     def body():
-        feats = inst_ref[:, :]
+        feats, colors = _unpack_feats(inst_ref[:, :], grid)
         px, py = _pixel_coords(t, grid)
         w = _block_weights(feats, px, py, grid)
         one_minus = 1.0 - w
@@ -251,8 +296,7 @@ def _bwd_kernel(grid: TileGrid, meta_ref, inst_ref, basis_ref,
         # per-pixel cotangent dC_c constant along the splat axis,
         #   sum_c dC_c * S_after_c
         #     = sum_c dC_c (C_fin_c - C_sofar_c) - cumsum(eff * sum_c dC_c c_c),
-        # so only the dC-weighted color dot needs scanning.
-        colors = feats[:, F_R : F_R + 3]  # [B, 3]
+        # so only the dC-weighted color dot needs scanning.  (colors [B, 3])
         # [B, 1] x [1, P] broadcasts: a K=3 matmul would pad K to the full
         # MXU tile and serialize behind the (much larger) triangular scan
         cdot = (colors[:, 0:1] * d_rgb_out[0:1, :]
@@ -333,7 +377,7 @@ def _fwd_call(inst, block_meta, grid: TileGrid):
         num_scalar_prefetch=1,
         grid=(grid.num_blocks,),
         in_specs=[
-            pl.BlockSpec((grid.block, NUM_FEATS), lambda j, m: (j, 0)),
+            pl.BlockSpec((grid.block, _num_feats(grid)), lambda j, m: (j, 0)),
         ],
         out_specs=pl.BlockSpec((1, OUT_ROWS, p), lambda j, m: (m[j] >> 2, 0, 0)),
     )
@@ -365,7 +409,7 @@ def _bwd_call(inst, block_meta, out_res, dout, grid: TileGrid):
         num_scalar_prefetch=1,
         grid=(grid.num_blocks,),
         in_specs=[
-            pl.BlockSpec((grid.block, NUM_FEATS), lambda j, m: (j, 0)),
+            pl.BlockSpec((grid.block, _num_feats(grid)), lambda j, m: (j, 0)),
             pl.BlockSpec((p, NUM_MOMS), lambda j, m: (0, 0)),
             pl.BlockSpec((1, 2 * OUT_ROWS, p), lambda j, m: (m[j] >> 2, 0, 0)),
         ],
@@ -396,13 +440,20 @@ def composite_from_feats(feats, bins, grid: TileGrid):
     cumsum — avoiding both the giant scatter-add XLA would emit for the
     instance gather's VJP (~500 ms at 4M instances) and a random-access
     inverse-permutation gather (~110 ms).
+
+    With grid.packed_colors the gather reads 8-column (32 B) rows — the fast
+    row-gather shape on v5e — with RGB as 16-bit fixed point (see
+    _pack_color_feats); the VJP still returns [N + 1, 16] f32 gradients
+    (straight-through past the color rounding).
     """
-    inst = jnp.take(feats, bins["inst_splat"], axis=0)
+    src = _pack_color_feats(feats) if grid.packed_colors else feats
+    inst = jnp.take(src, bins["inst_splat"], axis=0)
     return _fwd_call(inst, bins["block_meta"], grid)
 
 
 def _cff_fwd(feats, bins, grid):
-    inst = jnp.take(feats, bins["inst_splat"], axis=0)
+    src = _pack_color_feats(feats) if grid.packed_colors else feats
+    inst = jnp.take(src, bins["inst_splat"], axis=0)
     out = _fwd_call(inst, bins["block_meta"], grid)
     # inst is saved as a residual: regathering it in the backward costs ~28 ms
     # at 4M instances (row gathers are ~6.5 ns per index on v5e) vs. one
@@ -427,6 +478,32 @@ def _blocked_cumsum(x, block: int = 512):
     return (local + carry[:, None]).reshape(x.shape)
 
 
+def _pack_bf16_pairs(cols):
+    """Pack pairs of f32 columns as (bf16 << 16 | bf16) int32 columns."""
+    out = []
+    for i in range(0, len(cols), 2):
+        hi = lax.bitcast_convert_type(cols[i].astype(jnp.bfloat16), jnp.uint16)
+        hi = hi.astype(jnp.uint32) << 16
+        if i + 1 < len(cols):
+            lo = lax.bitcast_convert_type(cols[i + 1].astype(jnp.bfloat16), jnp.uint16)
+            hi = hi | lo.astype(jnp.uint32)
+        out.append(lax.bitcast_convert_type(hi, jnp.int32))
+    return out
+
+
+def _unpack_bf16_pairs(packed, n_cols):
+    """Inverse of _pack_bf16_pairs -> list of f32 columns."""
+    cols = []
+    for i, p in enumerate(packed):
+        u = lax.bitcast_convert_type(p, jnp.uint32)
+        hi = lax.bitcast_convert_type((u >> 16).astype(jnp.uint16), jnp.bfloat16)
+        cols.append(hi.astype(jnp.float32))
+        if 2 * i + 1 < n_cols:
+            lo = lax.bitcast_convert_type(u.astype(jnp.uint16), jnp.bfloat16)
+            cols.append(lo.astype(jnp.float32))
+    return cols
+
+
 def _cff_bwd(grid, residuals, dout):
     inst, bins, out = residuals
     d_inst = _bwd_call(inst, bins["block_meta"], out, dout, grid)
@@ -438,24 +515,35 @@ def _cff_bwd(grid, residuals, dout):
     # Pad/sentinel slots carry m = emax and sort past the first emax entries;
     # their d rows are zeros anyway (the backward kernel zero-fills skipped
     # blocks).
-    sorted_cols = lax.sort(
-        (bins["m_pos"],) + tuple(d_inst[i] for i in range(NUM_GRAD_COLS)),
-        num_keys=1,
-    )
+    if grid.grad_sort_dtype == "bfloat16":
+        # the sort is byte-bound: pairs of bf16 gradient columns ride one
+        # int32 payload each (5 operands instead of 9). Only the PER-INSTANCE
+        # values round to bf16; the per-splat segment sums below stay f32.
+        packed = _pack_bf16_pairs([d_inst[i] for i in range(NUM_GRAD_COLS)])
+        sorted_p = lax.sort((bins["m_pos"],) + tuple(packed), num_keys=1)
+        sorted_cols = (sorted_p[0],) + tuple(
+            _unpack_bf16_pairs(sorted_p[1:], NUM_GRAD_COLS)
+        )
+    else:
+        sorted_cols = lax.sort(
+            (bins["m_pos"],) + tuple(d_inst[i] for i in range(NUM_GRAD_COLS)),
+            num_keys=1,
+        )
     # per-splat segment sums over the enumeration ranges. Segments are
     # CONTIGUOUS (offs is an exact exclusive cumsum of cnt, dropped splats
     # have cnt == 0), so start_i == end_{i-1} and one prefix gather + a
-    # first-difference replaces two gathers. The prefix matrix is split
-    # [emax, 8] + [emax, 1]: row gathers with rows <= 32 bytes take a fast
-    # path on v5e (~6 ns/index vs ~21 ns/index at 9..16 f32 columns).
-    cs8 = _blocked_cumsum(jnp.stack([c[: grid.emax] for c in sorted_cols[1:9]], axis=1))
-    cs1 = _blocked_cumsum(sorted_cols[9][: grid.emax])
+    # first-difference replaces two gathers. ONE [emax, 9] row gather: on v5e
+    # 9-col (36 B) rows gather at ~6.4 ns/index while a 1-D gather costs
+    # ~7.1 ns/index on its own, so the former [emax, 8] + [emax, 1] split
+    # (~10.6 ns/index combined) loses to the single gather
+    # (tools/microbench_gather.py).
+    cs9 = _blocked_cumsum(
+        jnp.stack([c[: grid.emax] for c in sorted_cols[1:10]], axis=1)
+    )  # [emax, 9]
     end = jnp.minimum(bins["seg_offs"] + bins["seg_cnt"], grid.emax)
     at = jnp.clip(end - 1, 0, grid.emax - 1)
     live = (end > 0)[:, None]
-    g8 = jnp.where(live, jnp.take(cs8, at, axis=0), 0.0)  # [N, 8]
-    g1 = jnp.where(live, jnp.take(cs1, at)[:, None], 0.0)  # [N, 1]
-    g = jnp.concatenate([g8, g1], axis=1)  # [N, 9] cs at segment ends
+    g = jnp.where(live, jnp.take(cs9, at, axis=0), 0.0)  # [N, 9] cs at segment ends
     d_rows = jnp.diff(g, axis=0, prepend=jnp.zeros((1, 9), g.dtype))  # [N, 9]
     d_feats = jnp.concatenate(
         [d_rows, jnp.zeros((d_rows.shape[0], NUM_FEATS - 9), d_rows.dtype)], axis=1

@@ -27,6 +27,8 @@ def _grid_from_config(config, num_splats: int) -> TileGrid:
         alpha_cutoff=config.alpha_cutoff,
         early_stop_eps=config.early_stop_eps,
         accum_dtype=config.accum_dtype,
+        grad_sort_dtype=config.grad_sort_dtype,
+        packed_colors=config.packed_colors,
     )
 
 

@@ -108,6 +108,14 @@ class RenderConfig:
     # known (bench.py auto-calibrates), or leave the generous default
     max_instance_mult: float = 6.0
     early_stop_eps: float = 0.0  # skip blocks once max transmittance < eps (0 = exact)
+    # dtype per-instance gradients ride through the backward transpose sort
+    # ("float32" | "bfloat16"); bf16 halves that byte-bound sort's traffic,
+    # per-splat sums still accumulate in f32 (see ops/composite._cff_bwd)
+    grad_sort_dtype: str = "float32"
+    # pack splat RGB as 16-bit fixed point (step 2^-12) so instance feature
+    # rows hit the fast 32 B row-gather path (~1.85x on v5e); geometry and
+    # opacity stay exact f32 (see ops/composite._pack_color_feats)
+    packed_colors: bool = False
     # ordered-grid supersampling factor: render at supersample^2 the pixel
     # count, box-filter down (the reference's USE_SUPERSAMPLING resolve,
     # ref: shader/desktop_frag.glsl:19-30, enabled for the VR mirror window

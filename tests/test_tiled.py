@@ -276,6 +276,56 @@ def test_tiled_grads_with_cutoff_finite():
         assert np.isfinite(np.asarray(getattr(g, name))).all(), name
 
 
+def test_tiled_grads_bf16_sort_close_to_f32():
+    # grad_sort_dtype="bfloat16" rounds only the PER-INSTANCE gradients riding
+    # the backward transpose sort (ops/composite._pack_bf16_pairs); per-splat
+    # sums stay f32, so grads must match the f32 path to bf16 precision
+    rng = np.random.default_rng(105)
+    scene = _random_scene(rng, n=48)
+    cam = _camera()
+    target = jnp.asarray(rng.uniform(size=(64, 64, 4)), jnp.float32)
+
+    def loss(cfg):
+        return lambda s: jnp.mean((render(s, cam, cfg) - target) ** 2)
+
+    g32 = jax.grad(loss(TILED))(scene)
+    gbf = jax.grad(loss(dataclasses.replace(TILED, grad_sort_dtype="bfloat16")))(scene)
+    for name in ("means", "sh", "opacities", "log_scales", "quats"):
+        a, b = np.asarray(getattr(gbf, name)), np.asarray(getattr(g32, name))
+        assert np.isfinite(a).all(), name
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=1.5e-2, err_msg=name)
+
+
+def test_tiled_packed_colors_close_to_f32():
+    # packed_colors quantizes only the splat RGB to 16-bit fixed point (step
+    # 2^-12); images must match the exact path to that precision and grads
+    # must flow straight-through past the rounding
+    rng = np.random.default_rng(106)
+    scene = _random_scene(rng, n=48)
+    cam = _camera()
+    cfg_p = dataclasses.replace(TILED, packed_colors=True)
+
+    img32 = np.asarray(render(scene, cam, TILED))
+    imgp = np.asarray(render(scene, cam, cfg_p))
+    # premultiplied contributions sum with weights <= 1, so the image error is
+    # bounded by the per-color rounding (1.2e-4) plus discard-boundary flips
+    np.testing.assert_allclose(imgp, img32, atol=5e-4)
+
+    target = jnp.asarray(rng.uniform(size=(64, 64, 4)), jnp.float32)
+
+    def loss(cfg):
+        return lambda s: jnp.mean((render(s, cam, cfg) - target) ** 2)
+
+    g32 = jax.grad(loss(TILED))(scene)
+    gp = jax.grad(loss(cfg_p))(scene)
+    for name in ("means", "sh", "opacities", "log_scales", "quats"):
+        a, b = np.asarray(getattr(gp, name)), np.asarray(getattr(g32, name))
+        assert np.isfinite(a).all(), name
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-3, err_msg=name)
+
+
 def test_tiled_extent_tightening_lossless_low_opacity():
     # render.prepare_splats shrinks binning AABBs to the sqrt(2*ln(alpha /
     # cutoff))-sigma radius where the kernel's 1/256 discard can pass; splats
