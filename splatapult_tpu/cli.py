@@ -46,6 +46,9 @@ def _add_common(p):
     p.add_argument("--supersample", type=int, default=1,
                    help="ordered-grid supersampling factor (ref USE_SUPERSAMPLING)")
     p.add_argument("--tile-size", type=int, default=32)
+    p.add_argument("--packed-colors", action="store_true",
+                   help="16-bit fixed-point splat RGB: faster instance "
+                        "gathers, max color error 1.2e-4 (PERF.md)")
     p.add_argument("--no-floor", action="store_true",
                    help="ignore a discovered <ply>_vr.json floor transform")
     p.add_argument("--eye", type=float, nargs=3, default=None)
@@ -70,6 +73,7 @@ def _config(args):
         pipeline=args.pipeline,
         tile_size=args.tile_size,
         supersample=args.supersample,
+        packed_colors=args.packed_colors,
     )
 
 

@@ -126,6 +126,11 @@ _EXPAND_CTAB = 128  # table-block granularity of the candidate window
 # C-1 rows start inside a C-slot span, plus the row covering the chunk start),
 # plus up to CTAB-1 rows of block-alignment slop before it.
 _EXPAND_WBLK = _EXPAND_C // _EXPAND_CTAB + 1  # window = WBLK * CTAB rows
+# expand-kernel implementation: "onehot" = one argmax + one-hot MXU matmul
+# selects all fields at once (1 VPU window reduction, no packing budget);
+# "packed" = one (candidate << bits | field) masked max per field (5 VPU
+# window reductions, fields capped by a 31-bit packing budget).
+_EXPAND_IMPL = "packed"
 
 
 def _expand_fill_pallas(offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk,
@@ -136,10 +141,14 @@ def _expand_fill_pallas(offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk,
     splats compacted (offs strictly increasing), the covering row for any
     slot in chunk j lies in a (WBLK*CTAB)-row window starting at table block
     lo_blk[j] (see _EXPAND_WBLK above for the span bound).
-    Each field rides a packed (candidate_index << bits | field) masked max
-    over the window — argmax-by-construction, no gather, no scatter. Replaces
-    BOTH the scatter+cummax forward fill and the per-slot depth gather
-    (~26 ms of per-index-cost ops at 2M slots) with streaming VPU work.
+
+    "onehot" impl: ONE masked max finds the covering row index per slot;
+    every field then falls out of a single [5, W] @ [W, C] one-hot MXU
+    matmul — no gathers, no scatters, no per-field packed-bit selects, and
+    fields stay full width (they only must be exact in f32, i.e. integers
+    < 2^24, which is why depth is split in two 16-bit halves).
+    "packed" impl: each field rides its own (candidate_index << bits |
+    field) masked max — 5 VPU window reductions under a 31-bit budget.
     Rows: 0 = tile id, 1 = ORIGINAL splat index, 2 = sortable depth bits.
     """
     import jax
@@ -153,7 +162,41 @@ def _expand_fill_pallas(offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk,
     n_pad = offs_c.shape[0]
     assert emax % C == 0 and n_pad % ctab == 0 and n_pad >= wblk * ctab
 
-    def kernel(lo_ref, *refs):
+    def onehot_kernel(lo_ref, *refs):
+        offs_refs = refs[:wblk]
+        table_refs = refs[wblk : 2 * wblk]
+        out_ref = refs[-1]
+        j = pl.program_id(0)
+        offs_col = jnp.concatenate([r[:, :] for r in offs_refs], axis=0)  # [W*CTAB, 1]
+        cand_t = jnp.concatenate([r[:, :] for r in table_refs], axis=1)  # [5, W*CTAB] f32
+        m = j * C + lax.broadcasted_iota(jnp.int32, (1, C), 1)  # [1, C] slots
+        q = offs_col <= m  # [W*CTAB, C]
+        i_loc = lax.broadcasted_iota(jnp.int32, (wblk * ctab, 1), 0)
+
+        # covering row = last window row whose segment starts at or before m
+        win = jnp.max(jnp.where(q, i_loc, -1), axis=0, keepdims=True)  # [1, C]
+        onehot = (i_loc == win).astype(jnp.float32)  # [W*CTAB, C]
+        # exactly one nonzero per output column -> f32 accumulation is exact
+        fields = jnp.dot(
+            cand_t, onehot, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)  # [5, C]
+
+        offs_m = fields[0:1, :]
+        tnx_m = fields[1:2, :]
+        tile0_m = tnx_m >> fbn
+        nx_m = jnp.maximum(tnx_m & ((1 << fbn) - 1), 1)
+        dbits_m = (fields[2:3, :] << 16) | fields[3:4, :]
+        sid_m = fields[4:5, :]
+        covered = win >= 0  # uncovered slots (past total) -> garbage, masked outside
+        jr = m - offs_m
+        tile_m = tile0_m + (jr // nx_m) * tx_n + jr % nx_m
+        out_ref[:, :] = jnp.where(
+            covered,
+            jnp.concatenate([tile_m, sid_m, dbits_m], axis=0),
+            0,
+        )
+
+    def packed_kernel(lo_ref, *refs):
         table_refs, out_ref = refs[:-1], refs[-1]
         j = pl.program_id(0)
         cand = jnp.concatenate([r[:, :] for r in table_refs], axis=0)  # [W*CTAB, 5]
@@ -181,23 +224,46 @@ def _expand_fill_pallas(offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk,
         tile_m = tile0_m + (jr // nx_m) * tx_n + jr % nx_m
         out_ref[:, :] = jnp.concatenate([tile_m, sid_m, dbits_m], axis=0)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(emax // C,),
-        in_specs=[
+    if _EXPAND_IMPL == "onehot":
+        kernel = onehot_kernel
+        in_specs = [
+            pl.BlockSpec((ctab, 1), functools.partial(
+                lambda k, j, lo: (lo[j] + k, 0), k))
+            for k in range(wblk)
+        ] + [
+            pl.BlockSpec((5, ctab), functools.partial(
+                lambda k, j, lo: (0, lo[j] + k), k))
+            for k in range(wblk)
+        ]
+        # table transposed [5, n_pad] pre-converted to f32 (fields < 2^24,
+        # exact) so the matmul needs no in-kernel transpose or convert; offs
+        # additionally rides in column orientation for the coverage mask
+        table_t = jnp.stack(
+            [offs_c, tnx_c, dhi_c, dlo_c, sid_c], axis=0
+        ).astype(jnp.float32)
+        operands = [offs_c[:, None]] * wblk + [table_t] * wblk
+    else:
+        kernel = packed_kernel
+        in_specs = [
             pl.BlockSpec((ctab, 5), functools.partial(
                 lambda k, j, lo: (lo[j] + k, 0), k))
             for k in range(wblk)
-        ],
+        ]
+        table = jnp.stack([offs_c, tnx_c, dhi_c, dlo_c, sid_c], axis=1)
+        operands = [table] * wblk  # same table through WBLK window mappings
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(emax // C,),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((3, C), lambda j, lo: (0, j)),
     )
-    table = jnp.stack([offs_c, tnx_c, dhi_c, dlo_c, sid_c], axis=1)  # [n_pad, 5]
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, emax), jnp.int32),
         interpret=jax.default_backend() == "cpu",
-    )(lo_blk, *([table] * wblk))  # same table through WBLK window block mappings
+    )(lo_blk, *operands)
 
 
 def _bincount_by_sort(ids, num_bins: int):
@@ -343,17 +409,19 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
     fbn = max(int(tx_n).bit_length(), 1)  # bits for nx
     packable = (emax << fbt) < 2**32 and (n << fbn) < 2**31
     valid_m = m < total
-    # Pallas expand-kernel path (see _expand_fill_pallas): needs every packed
-    # (candidate_index << bits | field) word to fit in int31
-    ib = (_EXPAND_WBLK * _EXPAND_CTAB - 1).bit_length()
+    # Pallas expand-kernel path (see _expand_fill_pallas). "onehot": fields
+    # ride a one-hot f32 matmul, so each integer field must be exact in f32
+    # (< 2^24; depth is pre-split in 16-bit halves and always fits).
+    # "packed": every (candidate_index << bits | field) word must fit int31.
     ob = max(emax.bit_length(), max(n, 1).bit_length(), 1)
-    kernelable = (
-        depth is not None
-        and emax % _EXPAND_C == 0
-        and ib + ob <= 31
-        and ib + fbt + fbn <= 31
-        and ib + 16 <= 31
-    )
+    if _EXPAND_IMPL == "onehot":
+        fields_ok = (
+            emax < 2**24 and n < 2**24 and (num_tiles << fbn) < 2**24
+        )
+    else:
+        ib = (_EXPAND_WBLK * _EXPAND_CTAB - 1).bit_length()
+        fields_ok = ib + ob <= 31 and ib + fbt + fbn <= 31 and ib + 16 <= 31
+    kernelable = depth is not None and emax % _EXPAND_C == 0 and fields_ok
     dep_enum = None  # per-slot sortable depth bits (kernel path only)
     if kernelable:
         C, ctab, wblk = _EXPAND_C, _EXPAND_CTAB, _EXPAND_WBLK
