@@ -58,8 +58,28 @@ def save_png(path: str, img, background=(0.0, 0.0, 0.0), srgb_encode: bool = Fal
     Image.fromarray((rgb * 255.0 + 0.5).astype(np.uint8), "RGB").save(path)
 
 
-def load_png(path: str) -> np.ndarray:
-    """PNG -> [H, W, C] float32 in [0, 1]."""
+def load_png(path: str, premultiply: bool = True, flip: bool = False) -> np.ndarray:
+    """PNG -> [H, W, C] float32 in [0, 1].
+
+    Parity with the reference loader (ref: src/core/image.cpp:104-158):
+
+    - ``premultiply``: images with an alpha channel (RGBA or LA) get their
+      color channels multiplied by alpha (ref Image::MultiplyAlpha,
+      src/core/image.cpp:128-158) — the renderer composites and fits against
+      *premultiplied* RGBA, so PNG targets must enter in the same space.
+      No-op for alpha-less images.
+    - ``flip``: the reference copies rows bottom-up because GL textures have
+      row 0 at the bottom (src/core/image.cpp:110). This framework's images
+      are row-0-top throughout, so the default keeps PIL's top-down order;
+      pass flip=True for GL-ordered consumers.
+    """
     from PIL import Image
 
-    return np.asarray(Image.open(path), np.float32) / 255.0
+    img = np.asarray(Image.open(path), np.float32) / 255.0
+    if flip:
+        img = img[::-1].copy()
+    if premultiply and img.ndim == 3 and img.shape[-1] in (2, 4):
+        img = np.concatenate(
+            [img[..., :-1] * img[..., -1:], img[..., -1:]], axis=-1
+        )
+    return img
