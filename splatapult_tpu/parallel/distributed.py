@@ -28,7 +28,11 @@ def initialize_distributed(coordinator_address=None, num_processes=None, process
     other fabrics. Safe to call when already initialized or single-process
     (returns False).
     """
-    if jax.process_count() > 1:
+    # NB: do NOT probe jax.process_count() here — it initializes the runtime
+    # backend, after which jax.distributed.initialize raises (it must run
+    # before any backend use). jax.distributed.is_initialized is side-effect
+    # free. (Caught by the 2-process test, tests/test_distributed.py.)
+    if jax.distributed.is_initialized():
         return True  # already initialized
     try:
         jax.distributed.initialize(
@@ -66,18 +70,17 @@ def make_pod_mesh(num_view_shards: int = 1):
 def local_target_shards(targets_for_local_bands, config, mesh):
     """Assemble a global [V, H_pad, W, 4] target array from per-host shards.
 
-    targets_for_local_bands: this host's rows of the (padded) target images,
-    shaped [V_local, H_pad / tile_shards * local_share, W, 4].
+    targets_for_local_bands: this process's block of the (padded) target
+    images — its view rows x its tile bands. The global shape is inferred
+    from the local block and the P('views', 'tiles') sharding, so this works
+    for any process->mesh layout (tile bands split across hosts, whole view
+    shards per host as make_pod_mesh lays out, or both); an explicit
+    global-shape formula would bake in one layout and silently mis-shape the
+    others (a 2-process test caught exactly that, tests/test_distributed.py).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sharding = NamedSharding(mesh, P("views", "tiles", None, None))
-    global_shape = (
-        mesh.shape["views"] * targets_for_local_bands.shape[0],
-        targets_for_local_bands.shape[1] * mesh.shape["tiles"],
-        targets_for_local_bands.shape[2],
-        targets_for_local_bands.shape[3],
-    )
     return jax.make_array_from_process_local_data(
-        sharding, targets_for_local_bands, global_shape
+        sharding, targets_for_local_bands
     )
