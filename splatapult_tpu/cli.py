@@ -287,6 +287,23 @@ def cmd_save_pose(args):
     print(f"wrote {out}")
 
 
+def cmd_synth(args):
+    """Generate a procedural scene .ply — the debug cloud (ref:
+    GaussianCloud::InitDebugCloud, src/gaussiancloud.cpp:505-578) or the
+    garden-scale capture stand-in (io/synth.py; BASELINE config 3)."""
+    from splatapult_tpu.io.gaussians import make_debug_scene, save_gaussian_ply
+
+    if args.kind == "debug":
+        scene = make_debug_scene()
+    else:
+        from splatapult_tpu.io.synth import make_garden_scene
+
+        scene = make_garden_scene(args.splats, seed=args.seed)
+    save_gaussian_ply(args.output, scene)
+    print(f"wrote {args.output} ({scene.num_gaussians} splats, "
+          f"SH degree {scene.sh_degree})")
+
+
 def cmd_info(args):
     from splatapult_tpu.io.configs import discover_scene, load_cameras_json
     from splatapult_tpu.io.gaussians import load_gaussian_ply
@@ -359,6 +376,16 @@ def main(argv=None):
                    help="meters the floor sits below the camera (ref 1.5)")
     # -o default becomes <ply>_vr.json (the common default is a .png)
     p.set_defaults(fn=cmd_save_pose, output=None)
+
+    p = sub.add_parser("synth", help="generate a procedural scene .ply "
+                                     "(debug cloud or garden-scale stand-in)")
+    p.add_argument("kind", choices=["debug", "garden"])
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--splats", type=int, default=1_500_000,
+                   help="garden splat count (BASELINE config 3: ~1.5M)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("-d", "--debug", action="store_true")
+    p.set_defaults(fn=cmd_synth)
 
     p = sub.add_parser("info", help="print scene info + discovered configs")
     p.add_argument("ply")

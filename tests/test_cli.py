@@ -130,3 +130,21 @@ def test_cli_save_pose_idempotent(tmp_path, test_ply_path):
     out = str(tmp_path / "out.png")
     main(["save-pose", ply, "--eye", "0", "0.5", "2.5", "-o", out])
     assert os.path.exists(out) and json.load(open(out))["floorMat"] == first
+
+
+def test_cli_synth_garden_roundtrip(tmp_path, capsys):
+    out = str(tmp_path / "garden.ply")
+    main(["synth", "garden", "-o", out, "--splats", "3000", "--seed", "2"])
+    assert "3000 splats, SH degree 3" in capsys.readouterr().out
+    png = str(tmp_path / "garden.png")
+    main(["render", out, "-o", png, "--width", "64", "--height", "48",
+          "--eye", "4.2", "1.6", "0", "--pipeline", "tiled"])
+    img = load_png(png)
+    assert img.shape == (48, 64, 3)
+    assert img.max() > 0.05
+
+
+def test_cli_synth_debug(tmp_path, capsys):
+    out = str(tmp_path / "debug.ply")
+    main(["synth", "debug", "-o", out])
+    assert "16 splats" in capsys.readouterr().out
