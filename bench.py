@@ -12,6 +12,7 @@ backward pixels/s against that bar.
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -20,6 +21,8 @@ REFERENCE_PIXELS_PER_S = 60.0 * 1024 * 768  # implied interactive rate, fwd-only
 
 
 def make_scene(num_splats: int, seed: int = 0):
+    """Round-1 synthetic: uniform random ball (kept for series continuity as
+    --scene ball; the default bench scene is now the garden stand-in)."""
     import jax.numpy as jnp
 
     from splatapult_tpu.io.gaussians import GaussianScene
@@ -27,8 +30,6 @@ def make_scene(num_splats: int, seed: int = 0):
     rng = np.random.default_rng(seed)
     quats = rng.standard_normal((num_splats, 4)).astype(np.float32)
     quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
-    # mip-nerf-360-like statistics: splats concentrated in a unit ball with
-    # screen footprints of a few pixels
     means = rng.standard_normal((num_splats, 3)).astype(np.float32)
     means *= (rng.uniform(0, 1, (num_splats, 1)) ** (1 / 3)) / np.maximum(
         np.linalg.norm(means, axis=1, keepdims=True), 1e-6
@@ -40,6 +41,98 @@ def make_scene(num_splats: int, seed: int = 0):
         log_scales=jnp.asarray(rng.uniform(-6.5, -4.5, (num_splats, 3)), jnp.float32),
         quats=jnp.asarray(quats),
     )
+
+
+def make_bench_scene(kind: str, num_splats: int, seed: int = 0):
+    if kind == "ball":
+        return make_scene(num_splats, seed)
+    from splatapult_tpu.io.synth import make_garden_scene
+
+    # BASELINE config 3: Mip-NeRF-360-garden-class capture stand-in
+    # (trained-scene statistics; io/synth.py documents how)
+    return make_garden_scene(num_splats, seed)
+
+
+def bench_mesh(args, scene, config):
+    """Scaling-efficiency harness (BASELINE configs 4-5, BASELINE.md: >=85%
+    rays/s efficiency 1 -> N). Times the full SPMD train step (render + loss
+    + backward + cross-chip grad psum, parallel/mesh.py) on a 1-chip mesh and
+    an N-chip tile mesh with the same total work, and reports
+    efficiency = (rate_N / N) / rate_1.
+
+    Wall-clock is only meaningful on N real chips; on the virtual CPU mesh
+    (--mesh-platform cpu) the harness still runs end to end so a real slice
+    run is turnkey."""
+    import json
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from splatapult_tpu.io.gaussians import GaussianScene
+    from splatapult_tpu.io.synth import garden_cameras
+    from splatapult_tpu.parallel.mesh import (
+        _sharded_value_and_grad, make_render_mesh, shard_targets,
+    )
+
+    n_dev = len(jax.devices())
+    n = args.mesh
+    if n_dev < n:
+        raise SystemExit(
+            f"--mesh {n} needs {n} devices, found {n_dev}. For a mechanism "
+            f"check without hardware: --mesh-platform cpu (virtual devices)."
+        )
+    views = max(args.views, 1)
+    cam = garden_cameras(views, width=args.width, height_px=args.height)
+    if views == 1:
+        from splatapult_tpu.render import Camera
+
+        cam = Camera(cam_to_world=cam.cam_to_world[None], proj=cam.proj[None])
+
+    rates = {}
+    for shards in (1, n):
+        mesh = make_render_mesh(num_tile_shards=shards, num_view_shards=1,
+                                devices=jax.devices()[:shards])
+        targets = shard_targets(
+            jnp.zeros((views, args.height, args.width, 4), jnp.float32),
+            config, mesh)
+
+        def k_steps(s, c, t, k_iters):
+            def body(_, eps):
+                loss, grads = _sharded_value_and_grad(
+                    GaussianScene(
+                        means=s.means + eps, sh=s.sh, opacities=s.opacities,
+                        log_scales=s.log_scales, quats=s.quats),
+                    c, t, config, mesh)
+                return (loss + grads.means[0, 0]) * 1e-30
+
+            return jax.lax.fori_loop(0, k_iters, body, jnp.float32(0.0))
+
+        runner = jax.jit(k_steps)
+        float(runner(scene, cam, targets, jnp.int32(1)))  # compile
+        t1 = time.perf_counter()
+        float(runner(scene, cam, targets, jnp.int32(1)))
+        t1 = time.perf_counter() - t1
+        tk = time.perf_counter()
+        float(runner(scene, cam, targets, jnp.int32(args.iters)))
+        tk = time.perf_counter() - tk
+        dt = max((tk - t1) / max(args.iters - 1, 1), 1e-9)
+        rates[shards] = args.width * args.height * views / dt
+        if args.verbose:
+            import sys
+
+            print(f"# mesh={shards}: {dt * 1e3:.2f} ms/step, "
+                  f"{rates[shards] / 1e6:.2f} Mpx/s", file=sys.stderr)
+
+    eff = (rates[n] / n) / rates[1]
+    print(json.dumps({
+        "metric": f"rays/s scaling efficiency 1->{n} chips fwd+bwd",
+        "value": eff,
+        "unit": "ratio",
+        "vs_baseline": eff / 0.85,  # BASELINE.md: >=85% efficiency bar
+        "rate_1chip_px_s": rates[1],
+        f"rate_{n}chip_px_s": rates[n],
+    }))
 
 
 def _enable_compile_cache():
@@ -57,12 +150,26 @@ def _enable_compile_cache():
 def main():
     _enable_compile_cache()
     parser = argparse.ArgumentParser()
-    parser.add_argument("--splats", type=int, default=1_000_000)
+    parser.add_argument(
+        "--scene", default="garden", choices=("garden", "ball"),
+        help="garden = BASELINE config 3's trained-capture stand-in "
+             "(io/synth.py); ball = round-1's uniform random ball",
+    )
+    parser.add_argument("--splats", type=int, default=1_500_000,
+                        help="config 3 names ~1.5M splats")
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--height", type=int, default=1080)
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--warmup", type=int, default=1)
     parser.add_argument("--fwd-only", action="store_true")
+    parser.add_argument(
+        "--mesh", type=int, default=0,
+        help="scaling-efficiency harness (BASELINE configs 4-5): run the "
+             "SPMD train step over an N-way tile mesh AND over 1 chip, "
+             "report per-chip pixels/s and efficiency. Meaningful numbers "
+             "need N real chips; the mechanism runs anywhere (the driver "
+             "dry-runs it on a virtual CPU mesh).",
+    )
     parser.add_argument(
         "--views", type=int, default=1,
         help="camera-batch size (BASELINE config 4 analog): vmap over a "
@@ -99,19 +206,35 @@ def main():
         help="skip blocks once a tile's max transmittance falls below this "
              "(0 = exact; 1e-4 is the standard 3DGS termination threshold)",
     )
+    parser.add_argument(
+        "--mesh-platform", default="default", choices=("default", "cpu"),
+        help="cpu: force the CPU host platform with --mesh virtual devices "
+             "(mechanism check for the scaling harness without a pod slice)",
+    )
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
     import jax
+
+    if args.mesh and args.mesh_platform == "cpu":
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.mesh}"
+            ).strip()
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from splatapult_tpu.core import transforms as T
     from splatapult_tpu.render import Camera, RenderConfig, render
 
-    scene = make_scene(args.splats)
-    if args.views > 1:
-        from splatapult_tpu.render import render_batch
+    scene = make_bench_scene(args.scene, args.splats)
+    if args.scene == "garden":
+        from splatapult_tpu.io.synth import garden_cameras
 
+        cam = garden_cameras(args.views, width=args.width, height_px=args.height)
+    elif args.views > 1:
         cams = [
             Camera.from_fov(
                 T.look_at(eye=[np.cos(a) * 4.5, 0.8, np.sin(a) * 4.5],
@@ -129,6 +252,8 @@ def main():
             T.look_at(eye=[0.0, 0.8, 4.5], target=[0, 0, 0], up=[0, 1, 0]),
             fovy=np.pi / 4, width=args.width, height=args.height,
         )
+    if args.views > 1:
+        from splatapult_tpu.render import render_batch
     config = RenderConfig(
         width=args.width, height=args.height, pipeline="tiled",
         tile_size=args.tile_size, tile_block=args.tile_block,
@@ -148,6 +273,10 @@ def main():
         if args.verbose:
             print(f"# auto capacity: mult {config.max_instance_mult:.3f} "
                   f"({config.max_instance_mult / 1.06:.2f} inst/splat measured)")
+
+    if args.mesh:
+        bench_mesh(args, scene, config)
+        return
 
     # Timing methodology: this environment's TPU tunnel makes
     # jax.block_until_ready a no-op until the first device->host readback, and

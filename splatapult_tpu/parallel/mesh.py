@@ -128,7 +128,8 @@ def render_batch_sharded(scene, cameras: Camera, config: RenderConfig, mesh: Mes
 
 
 @functools.lru_cache(maxsize=32)
-def make_sharded_train_step(config: RenderConfig, mesh: Mesh, optimizer=None):
+def make_sharded_train_step(config: RenderConfig, mesh: Mesh, optimizer=None,
+                            sh_psum_chunks: int = 1):
     """Build (and cache) the jitted SPMD train step for (config, mesh, optimizer).
 
     Rebuilding the shard_map per call would re-trace and re-compile the whole
@@ -136,7 +137,9 @@ def make_sharded_train_step(config: RenderConfig, mesh: Mesh, optimizer=None):
     """
 
     def step_fn(scene, cameras, targets, opt_state):
-        loss, grads = _sharded_value_and_grad(scene, cameras, targets, config, mesh)
+        loss, grads = _sharded_value_and_grad(
+            scene, cameras, targets, config, mesh,
+            sh_psum_chunks=sh_psum_chunks)
         if optimizer is None:
             return loss, grads, None
         updates, opt_state = optimizer.update(grads, opt_state, scene)
@@ -149,23 +152,34 @@ def make_sharded_train_step(config: RenderConfig, mesh: Mesh, optimizer=None):
 
 
 def sharded_train_step(scene, cameras: Camera, targets, config: RenderConfig, mesh: Mesh,
-                       optimizer=None, opt_state=None):
+                       optimizer=None, opt_state=None, sh_psum_chunks: int = 1):
     """One SPMD optimization step: render camera batch, L2 loss vs targets,
     grads to all splat parameters all-reduced across the mesh, optional optax
     update. Returns (loss, grads_or_updated_scene, new_opt_state).
 
     Compiled once per (config, mesh, optimizer) via make_sharded_train_step.
     """
-    return make_sharded_train_step(config, mesh, optimizer)(scene, cameras, targets, opt_state)
+    return make_sharded_train_step(config, mesh, optimizer, sh_psum_chunks)(
+        scene, cameras, targets, opt_state)
 
 
-def _sharded_value_and_grad(scene, cameras: Camera, targets, config: RenderConfig, mesh: Mesh):
+def _sharded_value_and_grad(scene, cameras: Camera, targets, config: RenderConfig, mesh: Mesh,
+                           sh_psum_chunks: int = 1):
     """(loss, grads) with tile/view sharding and explicit cross-chip psum.
 
     The all-reduce of parameter grads happens AFTER per-shard differentiation
     and overlaps with remaining backward compute under XLA's async collective
     scheduling — the reference, being forward-only and single-GPU, has no
     analog (SURVEY.md section 2.3).
+
+    ``sh_psum_chunks > 1`` splits the SH gradient — 48 of the 61 gradient
+    floats per splat, the all-reduce's byte budget — into that many
+    coefficient-band chunks with one psum each. The per-chunk cotangent
+    matmuls finish at different points of the backward, so the scheduler can
+    START the first SH all-reduces while the projection backward (means /
+    scales / quats) is still computing, instead of one monolithic SH
+    collective that can only begin after the full d_sh materializes
+    (north-star overlap lever; measured in tools/profile_overlap.py).
     """
     num_shards = mesh.shape["tiles"]
     band_h = _shard_config(config, num_shards).height
@@ -200,8 +214,35 @@ def _sharded_value_and_grad(scene, cameras: Camera, targets, config: RenderConfi
         # psums asynchronously against remaining backward compute, and the
         # parameter pytree's separate leaves (means / SH / scales / ...) give
         # it independent collectives to overlap (the north-star requirement).
+        # Structurally, d_sh depends only on the composite backward's color
+        # cotangent (d_sh = d_rgb x basis), which finalizes BEFORE the
+        # projection backward computes d_means/d_quats/d_scales — so the SH
+        # all-reduce (48 of 61 grad floats per splat) has real compute left
+        # to hide behind.
         loss = lax.psum(loss, ("views", "tiles"))
-        grads = jax.tree.map(lambda g: lax.psum(g, ("views", "tiles")), grads)
+        axes = ("views", "tiles")
+        k = grads.sh.shape[-1]
+        if sh_psum_chunks > 1 and k % sh_psum_chunks == 0:
+            # split the dominant collective into coefficient-band chunks:
+            # smaller all-reduces issue as their slices are ready and
+            # pipeline with the remaining backward instead of waiting to
+            # launch one monolithic transfer
+            step = k // sh_psum_chunks
+            sh_parts = [
+                lax.psum(grads.sh[..., i * step:(i + 1) * step], axes)
+                for i in range(sh_psum_chunks)
+            ]
+            d_sh = jnp.concatenate(sh_parts, axis=-1)
+            grads = dataclasses.replace(
+                grads,
+                means=lax.psum(grads.means, axes),
+                sh=d_sh,
+                opacities=lax.psum(grads.opacities, axes),
+                log_scales=lax.psum(grads.log_scales, axes),
+                quats=lax.psum(grads.quats, axes),
+            )
+        else:
+            grads = jax.tree.map(lambda g: lax.psum(g, axes), grads)
         return loss, grads
 
     return jax.shard_map(

@@ -132,3 +132,24 @@ def test_sharded_train_step_with_optimizer():
     assert np.isfinite(float(loss0)) and np.isfinite(float(loss1))
     # one adam step toward a black target must reduce the loss
     assert float(loss1) < float(loss0)
+
+
+def test_sharded_grads_chunked_sh_psum_match():
+    # sh_psum_chunks splits the SH all-reduce into per-band collectives
+    # (parallel/mesh.py overlap lever); the summed result must be identical
+    rng = np.random.default_rng(6)
+    scene = _random_scene(rng)
+    scene = dataclasses.replace(
+        scene, sh=jnp.asarray(rng.standard_normal((48, 3, 16)) * 0.3, jnp.float32))
+    cams = _camera_batch(2)
+    targets = jnp.asarray(rng.uniform(size=(2, 64, 64, 4)), jnp.float32)
+    mesh = make_render_mesh(num_tile_shards=4, num_view_shards=2)
+    tgt = shard_targets(targets, CFG, mesh)
+    loss1, g1, _ = sharded_train_step(scene, cams, tgt, CFG, mesh)
+    loss4, g4, _ = sharded_train_step(scene, cams, tgt, CFG, mesh,
+                                      sh_psum_chunks=4)
+    np.testing.assert_allclose(float(loss1), float(loss4), rtol=1e-6)
+    for name in ("means", "sh", "opacities", "log_scales", "quats"):
+        a, b = np.asarray(getattr(g4, name)), np.asarray(getattr(g1, name))
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-6, err_msg=name)

@@ -129,8 +129,8 @@ def test_binning_overflow_reported():
 
 
 def test_binning_expand_kernel_matches_fallback(monkeypatch, rng):
-    # the Pallas expand kernel (packed masked-max window selection) must
-    # produce bit-identical bins to the scatter+cummax+gather fallback
+    # the Pallas expand kernel (one-hot MXU matmul selection) must produce
+    # bit-identical bins to the scatter+cummax+gather fallback
     import splatapult_tpu.ops.binning as B
 
     grid = TileGrid.create(width=96, height=64, num_splats=300, tile_size=16,
@@ -340,6 +340,93 @@ def test_tiled_extent_tightening_lossless_low_opacity():
     a = np.asarray(render(scene, cam, TILED))
     b = np.asarray(render(scene, cam, GLOBAL))
     np.testing.assert_allclose(a, b, atol=3e-5)
+
+
+def test_early_stop_noop_when_unsaturated():
+    # a thin translucent scene never drives transmittance below eps, so the
+    # early-stop path must compute the BIT-IDENTICAL image (same kernel body,
+    # the skip predicate just never fires)
+    rng = np.random.default_rng(108)
+    scene = _random_scene(rng, n=48)
+    scene = dataclasses.replace(
+        scene, opacities=jnp.full_like(scene.opacities, -2.0))  # alpha ~ 0.12
+    cam = _camera()
+    a = np.asarray(render(scene, cam, TILED))
+    b = np.asarray(render(scene, cam,
+                          dataclasses.replace(TILED, early_stop_eps=1e-4)))
+    np.testing.assert_array_equal(a, b)
+
+
+def _opaque_stack_scene(n=64, opacity=3.0):
+    """n identical huge splats on one spot: every pixel of the covered
+    tiles saturates within the first compositing blocks (at high opacity),
+    so early-stop MUST skip the later blocks."""
+    means = np.tile(np.asarray([[0.3, 0.3, 0.3]], np.float32), (n, 1))
+    means += np.linspace(0, 1e-3, n)[:, None].astype(np.float32)  # distinct depths
+    sh = np.tile(np.asarray([[0.8], [0.2], [0.1]], np.float32)[None], (n, 1, 1))
+    sh *= np.linspace(1.0, 0.2, n)[:, None, None].astype(np.float32)
+    return GaussianScene(
+        means=jnp.asarray(means), sh=jnp.asarray(sh),
+        opacities=jnp.full((n,), opacity, jnp.float32),
+        log_scales=jnp.full((n, 3), -0.5, jnp.float32),  # huge on screen
+        quats=jnp.tile(jnp.asarray([[1.0, 0.0, 0.0, 0.0]], jnp.float32), (n, 1)),
+    )
+
+
+def test_early_stop_opaque_scene_error_bounded():
+    # deep opaque stacks: skipping blocks once the tile's max transmittance
+    # falls below eps can only drop contributions of total premultiplied
+    # weight < eps per pixel (the analog of the per-pixel early-out the
+    # reference gets from hardware blending, shader/splat_frag.glsl:38-41 +
+    # back-to-front saturation)
+    scene = _opaque_stack_scene()
+    cam = _camera()
+    eps = 1e-3
+    exact = np.asarray(render(scene, cam, TILED))
+    fast = np.asarray(render(scene, cam,
+                             dataclasses.replace(TILED, early_stop_eps=eps)))
+    assert np.abs(fast - exact).max() <= eps + 1e-6
+    # and blocks were actually skipped (64 stacked alpha-0.95 splats cross
+    # T < 1e-3 after ~3 of 8 blocks; the skipped tail's contributions are
+    # tiny but nonzero, so the images cannot be bitwise identical)
+    assert not np.array_equal(fast, exact)
+
+
+def test_early_stop_predicate_wiring():
+    # eps > 1 can never be satisfied by a transmittance (T <= 1), so ONLY the
+    # first block of each tile may run: a deep tile must lose its later
+    # blocks' contribution entirely — pins the skip predicate itself
+    # alpha ~ 0.27: after the first 8-instance block T ~ 0.73^8 ~ 0.08, so
+    # the dropped tail is a clearly visible ~8% of the color
+    scene = _opaque_stack_scene(opacity=-1.0)
+    cam = _camera()
+    exact = np.asarray(render(scene, cam, TILED))
+    first_only = np.asarray(render(scene, cam,
+                                   dataclasses.replace(TILED, early_stop_eps=2.0)))
+    diff = np.abs(first_only - exact).max()
+    assert diff > 0.01  # later blocks genuinely contributed in exact mode
+    assert diff < 1.0
+
+
+def test_early_stop_grads_finite_and_close():
+    rng = np.random.default_rng(110)
+    scene = _random_scene(rng, n=120, spread=0.35)
+    scene = dataclasses.replace(
+        scene, opacities=jnp.full_like(scene.opacities, 3.0))
+    cam = _camera()
+    target = jnp.asarray(rng.uniform(size=(64, 64, 4)), jnp.float32)
+
+    def loss(cfg):
+        return lambda s: jnp.mean((render(s, cam, cfg) - target) ** 2)
+
+    g0 = jax.grad(loss(TILED))(scene)
+    g1 = jax.grad(loss(dataclasses.replace(TILED, early_stop_eps=1e-4)))(scene)
+    for name in ("means", "sh", "opacities", "log_scales", "quats"):
+        a, b = np.asarray(getattr(g1, name)), np.asarray(getattr(g0, name))
+        assert np.isfinite(a).all(), name
+        scale = np.abs(b).max() + 1e-8
+        # skipped blocks' splats are occluded: their true grads are O(eps)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-3, err_msg=name)
 
 
 def test_instance_demand_matches_binning(rng):
