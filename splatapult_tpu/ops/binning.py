@@ -126,15 +126,36 @@ _EXPAND_CTAB = 128  # table-block granularity of the candidate window
 # C-1 rows start inside a C-slot span, plus the row covering the chunk start),
 # plus up to CTAB-1 rows of block-alignment slop before it.
 _EXPAND_WBLK = _EXPAND_C // _EXPAND_CTAB + 1  # window = WBLK * CTAB rows
-# expand-kernel implementation: "onehot" = one argmax + one-hot MXU matmul
-# selects all fields at once (1 VPU window reduction, no packing budget);
+# expand-kernel implementation preference: "onehot" = one masked-max window
+# reduction finds the covering row, then a one-hot MXU matmul selects all
+# fields at once (no packing budget: works to 2^24 instances/splats);
 # "packed" = one (candidate << bits | field) masked max per field (5 VPU
-# window reductions, fields capped by a 31-bit packing budget).
-_EXPAND_IMPL = "packed"
+# window reductions, fields capped by a 31-bit packing budget — infeasible
+# past ~2M instances, e.g. the 1.5M-splat 1080p garden scene).
+# "auto" tries them in preference order, skipping infeasible ones; onehot
+# leads (it is the only feasible impl at garden scale; head-to-head timing:
+# tools/microbench_expand.py, results in PERF.md).
+_EXPAND_IMPL = "auto"
+_EXPAND_ORDER = ("onehot", "packed")
+
+
+def _expand_impl_ok(impl: str, emax: int, n: int, num_tiles: int,
+                    fbt: int, fbn: int, ob: int) -> bool:
+    """Feasibility of one expand-kernel impl at these sizes.
+
+    "onehot" transports fields as f32 through an MXU matmul (exact for
+    integers < 2^24 under Precision.HIGHEST — see _expand_fill_pallas);
+    "packed" needs every (window_index << bits | field) word to fit int31.
+    """
+    if impl == "onehot":
+        return emax < 2**24 and n < 2**24 and (num_tiles << fbn) < 2**24
+    ib = (_EXPAND_WBLK * _EXPAND_CTAB - 1).bit_length()
+    return ib + ob <= 31 and ib + fbt + fbn <= 31 and ib + 16 <= 31
 
 
 def _expand_fill_pallas(offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk,
-                        grid: TileGrid, fbt: int, fbn: int, ob: int):
+                        grid: TileGrid, fbt: int, fbn: int, ob: int,
+                        impl: str = "onehot"):
     """Expand the compacted per-splat table to per-slot values -> [3, emax].
 
     The inverse of "which splat covers enumeration slot m": with the kept
@@ -176,9 +197,16 @@ def _expand_fill_pallas(offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk,
         # covering row = last window row whose segment starts at or before m
         win = jnp.max(jnp.where(q, i_loc, -1), axis=0, keepdims=True)  # [1, C]
         onehot = (i_loc == win).astype(jnp.float32)  # [W*CTAB, C]
-        # exactly one nonzero per output column -> f32 accumulation is exact
+        # Exactly one nonzero per output column -> the f32 accumulation is
+        # exact; Precision.HIGHEST is REQUIRED for the multiply itself: the
+        # MXU's default f32 path truncates operands to bf16 (8-bit mantissa),
+        # which silently corrupts any transported integer > 256. HIGHEST runs
+        # the exact 3-way bf16 split (hi+mid+lo covers all 24 mantissa bits;
+        # each piece times 1.0 is exact; the non-overlapping pieces re-sum
+        # exactly in f32), so fields < 2^24 round-trip bit-exactly.
         fields = jnp.dot(
-            cand_t, onehot, preferred_element_type=jnp.float32
+            cand_t, onehot, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         ).astype(jnp.int32)  # [5, C]
 
         offs_m = fields[0:1, :]
@@ -224,7 +252,7 @@ def _expand_fill_pallas(offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk,
         tile_m = tile0_m + (jr // nx_m) * tx_n + jr % nx_m
         out_ref[:, :] = jnp.concatenate([tile_m, sid_m, dbits_m], axis=0)
 
-    if _EXPAND_IMPL == "onehot":
+    if impl == "onehot":
         kernel = onehot_kernel
         in_specs = [
             pl.BlockSpec((ctab, 1), functools.partial(
@@ -414,14 +442,12 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
     # (< 2^24; depth is pre-split in 16-bit halves and always fits).
     # "packed": every (candidate_index << bits | field) word must fit int31.
     ob = max(emax.bit_length(), max(n, 1).bit_length(), 1)
-    if _EXPAND_IMPL == "onehot":
-        fields_ok = (
-            emax < 2**24 and n < 2**24 and (num_tiles << fbn) < 2**24
-        )
-    else:
-        ib = (_EXPAND_WBLK * _EXPAND_CTAB - 1).bit_length()
-        fields_ok = ib + ob <= 31 and ib + fbt + fbn <= 31 and ib + 16 <= 31
-    kernelable = depth is not None and emax % _EXPAND_C == 0 and fields_ok
+    prefs = _EXPAND_ORDER if _EXPAND_IMPL == "auto" else (_EXPAND_IMPL,)
+    impl = next(
+        (i for i in prefs if _expand_impl_ok(i, emax, n, num_tiles, fbt, fbn, ob)),
+        None,
+    )
+    kernelable = depth is not None and emax % _EXPAND_C == 0 and impl is not None
     dep_enum = None  # per-slot sortable depth bits (kernel path only)
     if kernelable:
         C, ctab, wblk = _EXPAND_C, _EXPAND_CTAB, _EXPAND_WBLK
@@ -461,7 +487,8 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
         )
         lo_blk = jnp.clip(lo // ctab, 0, n_pad // ctab - wblk)
         out3 = _expand_fill_pallas(
-            offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk, grid, fbt, fbn, ob
+            offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk, grid, fbt, fbn, ob,
+            impl=impl,
         )
         tile, s, dep_enum = out3[0], out3[1], out3[2]
     elif packable:

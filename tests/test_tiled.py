@@ -9,6 +9,7 @@ import dataclasses
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from splatapult_tpu.core import transforms as T
 from splatapult_tpu.io.gaussians import GaussianScene, make_debug_scene
@@ -128,9 +129,11 @@ def test_binning_overflow_reported():
     assert int(bins3["num_culled_instances"]) > 0
 
 
-def test_binning_expand_kernel_matches_fallback(monkeypatch, rng):
-    # the Pallas expand kernel (one-hot MXU matmul selection) must produce
-    # bit-identical bins to the scatter+cummax+gather fallback
+@pytest.mark.parametrize("impl", ["onehot", "packed"])
+def test_binning_expand_kernel_matches_fallback(monkeypatch, rng, impl):
+    # BOTH Pallas expand-kernel impls (one-hot MXU matmul selection and
+    # packed masked-max selection) must produce bit-identical bins to the
+    # scatter+cummax+gather fallback
     import splatapult_tpu.ops.binning as B
 
     grid = TileGrid.create(width=96, height=64, num_splats=300, tile_size=16,
@@ -139,6 +142,7 @@ def test_binning_expand_kernel_matches_fallback(monkeypatch, rng):
     ext = jnp.asarray(rng.uniform(0.0, 25.0, (300, 2)), jnp.float32)
     ext = jnp.where(rng.uniform(size=(300, 2)) < 0.1, 0.0, ext)  # some culled
     depth = jnp.asarray(rng.uniform(0.1, 50.0, (300,)), jnp.float32)
+    monkeypatch.setattr(B, "_EXPAND_IMPL", impl)
     a = jax.tree.map(np.asarray, bin_splats(mean2d, ext, grid, depth=depth))
     monkeypatch.setattr(B, "_EXPAND_C", 3000)  # emax % 3000 != 0 -> fallback
     b = jax.tree.map(np.asarray, bin_splats(mean2d, ext, grid, depth=depth))
@@ -459,7 +463,8 @@ def test_instance_demand_matches_binning(rng):
     assert demand == int(jnp.sum(bins2["tile_count"]))
 
 
-def test_binning_expand_window_adversarial(monkeypatch, rng):
+@pytest.mark.parametrize("impl", ["onehot", "packed"])
+def test_binning_expand_window_adversarial(monkeypatch, rng, impl):
     """Stress the expand kernel's tightened candidate window (WBLK*CTAB rows).
 
     Worst case: every kept row covers exactly ONE slot, so a 512-slot chunk's
@@ -498,6 +503,7 @@ def test_binning_expand_window_adversarial(monkeypatch, rng):
     grid = TileGrid.create(width=256, height=256, num_splats=6000,
                            tile_size=16, block=8, max_instance_mult=2)
     assert grid.emax % B._EXPAND_C == 0  # kernel path active
+    monkeypatch.setattr(B, "_EXPAND_IMPL", impl)
     for i, (mean2d, ext) in enumerate(cases):
         depth = jnp.asarray(
             rng.uniform(0.1, 50.0, (mean2d.shape[0],)), jnp.float32)

@@ -19,11 +19,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--scene", default="ball", choices=("ball", "garden"))
     parser.add_argument("--splats", type=int, default=1_000_000)
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--height", type=int, default=1080)
     parser.add_argument("--iters", type=int, default=5)
-    parser.add_argument("--instance-mult", type=float, default=2.0)
+    parser.add_argument("--instance-mult", type=float, default=0.0,
+                        help="0 = auto-calibrate from measured demand (like bench.py)")
     parser.add_argument("--tile-size", type=int, default=32)
     parser.add_argument("--tile-block", type=int, default=128)
     parser.add_argument("--early-stop", type=float, default=1e-4)
@@ -43,7 +45,7 @@ def main():
     except Exception:
         pass
 
-    from bench import make_scene
+    from bench import make_bench_scene
     from splatapult_tpu.core import transforms as T
     from splatapult_tpu.io.gaussians import GaussianScene
     from splatapult_tpu.ops.binning import TileGrid, bin_splats
@@ -51,20 +53,35 @@ def main():
     from splatapult_tpu.ops.tiled import pack_features
     from splatapult_tpu.render import Camera, RenderConfig, prepare_splats, render
 
-    scene = make_scene(args.splats)
-    cam = Camera.from_fov(
-        T.look_at(eye=[0.0, 0.8, 4.5], target=[0, 0, 0], up=[0, 1, 0]),
-        fovy=np.pi / 4, width=args.width, height=args.height,
-    )
+    scene = make_bench_scene(args.scene, args.splats)
+    scene = jax.tree.map(jnp.asarray, scene)  # garden returns host numpy
+    if args.scene == "garden":
+        from splatapult_tpu.io.synth import garden_cameras
+
+        cam = garden_cameras(1, width=args.width, height_px=args.height)
+    else:
+        cam = Camera.from_fov(
+            T.look_at(eye=[0.0, 0.8, 4.5], target=[0, 0, 0], up=[0, 1, 0]),
+            fovy=np.pi / 4, width=args.width, height=args.height,
+        )
     config = RenderConfig(
         width=args.width, height=args.height, pipeline="tiled",
         tile_size=args.tile_size, tile_block=args.tile_block,
         max_instance_mult=args.instance_mult, early_stop_eps=args.early_stop,
+        grad_sort_dtype="bfloat16", packed_colors=True,
     )
+    if args.instance_mult <= 0.0:
+        from splatapult_tpu.render import calibrate_config
+
+        config = calibrate_config(scene, cam, config)
+        print(f"# auto capacity: mult {config.max_instance_mult:.3f}")
     grid = TileGrid.create(
         width=args.width, height=args.height, num_splats=args.splats,
         tile_size=args.tile_size, block=args.tile_block,
-        max_instance_mult=args.instance_mult, early_stop_eps=args.early_stop,
+        max_instance_mult=config.max_instance_mult,
+        early_stop_eps=args.early_stop,
+        grad_sort_dtype=config.grad_sort_dtype,
+        packed_colors=config.packed_colors,
     )
 
     def perturb(s, eps):
@@ -140,12 +157,12 @@ def main():
         float(runner(scene, jnp.int32(1)))
         compile_s = time.time() - t0
         t_single = min(
-            _timeit(lambda: float(runner(scene, jnp.int32(1)))) for _ in range(2)
+            _timeit(lambda: float(runner(scene, jnp.int32(1)))) for _ in range(3)
         )
         t_k = min(
-            _timeit(lambda: float(runner(scene, jnp.int32(k)))) for _ in range(2)
+            _timeit(lambda: float(runner(scene, jnp.int32(k)))) for _ in range(3)
         )
-        dt = max((t_k - t_single) / (k - 1), 1e-9) if k > 1 else t_k
+        dt = (t_k - t_single) / (k - 1) if (k > 1 and t_k > t_single) else t_k / k
         results[name] = dt
         print(f"{name:12s} {dt * 1e3:9.2f} ms/step   (compile {compile_s:.1f}s)", flush=True)
 
