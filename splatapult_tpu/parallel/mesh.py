@@ -163,28 +163,68 @@ def sharded_train_step(scene, cameras: Camera, targets, config: RenderConfig, me
         scene, cameras, targets, opt_state)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _psum_in_bwd(x, axes):
+    """Identity forward; all-reduces the COTANGENT across ``axes``.
+
+    Placing the gradient all-reduce *inside* the backward graph — at the
+    exact point the cotangent materializes — instead of after value_and_grad
+    returns is what makes overlap possible at all: AOT-compiling the train
+    step for a v5e-8 topology (tools/aot_overlap_hlo.py) showed that
+    post-hoc leaf psums get combined into ONE tuple all-reduce scheduled
+    dead last (after the entire backward), where no compute remains to hide
+    it behind. d_sh materializes at the SH-basis transpose matmul, BEFORE
+    the projection backward (d_means/d_quats/d_scales) runs, so an
+    all-reduce issued here has the whole projection backward to overlap
+    with on a real slice.
+    """
+    return x
+
+
+def _psum_in_bwd_fwd(x, axes):
+    return x, None
+
+
+def _psum_in_bwd_bwd(axes, _, g):
+    return (lax.psum(g, axes),)
+
+
+_psum_in_bwd.defvjp(_psum_in_bwd_fwd, _psum_in_bwd_bwd)
+
+
 def _sharded_value_and_grad(scene, cameras: Camera, targets, config: RenderConfig, mesh: Mesh,
                            sh_psum_chunks: int = 1):
     """(loss, grads) with tile/view sharding and explicit cross-chip psum.
 
-    The all-reduce of parameter grads happens AFTER per-shard differentiation
-    and overlaps with remaining backward compute under XLA's async collective
-    scheduling — the reference, being forward-only and single-GPU, has no
-    analog (SURVEY.md section 2.3).
+    The SH gradient — 48 of the 61 gradient floats per splat, the
+    all-reduce's byte budget — is all-reduced INSIDE the backward via
+    _psum_in_bwd, as early as its cotangent exists; the small remaining
+    leaves (means/opacities/scales/quats, 13 floats) ride one final psum.
+    The reference, being forward-only and single-GPU, has no analog
+    (SURVEY.md section 2.3).
 
-    ``sh_psum_chunks > 1`` splits the SH gradient — 48 of the 61 gradient
-    floats per splat, the all-reduce's byte budget — into that many
-    coefficient-band chunks with one psum each. The per-chunk cotangent
-    matmuls finish at different points of the backward, so the scheduler can
-    START the first SH all-reduces while the projection backward (means /
-    scales / quats) is still computing, instead of one monolithic SH
-    collective that can only begin after the full d_sh materializes
-    (north-star overlap lever; measured in tools/profile_overlap.py).
+    ``sh_psum_chunks > 1`` additionally splits the in-backward SH all-reduce
+    into that many coefficient-band chunks with one psum each, giving the
+    scheduler independent smaller collectives to pipeline
+    (tools/profile_overlap.py / tools/aot_overlap_hlo.py measure this).
     """
     num_shards = mesh.shape["tiles"]
     band_h = _shard_config(config, num_shards).height
+    axes = ("views", "tiles")
 
     def shard_loss(scene, cameras, targets):
+        # SH grads all-reduce in-backward (see _psum_in_bwd). The marker
+        # sits OUTSIDE the view vmap: its cotangent is this shard's full
+        # d_sh (already summed over the shard's views).
+        k = scene.sh.shape[-1]
+        if sh_psum_chunks > 1 and k % sh_psum_chunks == 0:
+            step = k // sh_psum_chunks
+            sh = jnp.concatenate(
+                [_psum_in_bwd(scene.sh[..., i * step:(i + 1) * step], axes)
+                 for i in range(sh_psum_chunks)], axis=-1)
+        else:
+            sh = _psum_in_bwd(scene.sh, axes)
+        scene = dataclasses.replace(scene, sh=sh)
         d = lax.axis_index("tiles")
 
         def one_view(cam, tgt):
@@ -209,40 +249,18 @@ def _sharded_value_and_grad(scene, cameras: Camera, targets, config: RenderConfi
 
     def shard_step(scene, cameras, targets):
         loss, grads = grad_fn(scene, cameras, targets)
-        # Each shard holds the partial d(loss)/d(params) from its own tile band
-        # and view slice; the all-reduce completes them. XLA schedules these
-        # psums asynchronously against remaining backward compute, and the
-        # parameter pytree's separate leaves (means / SH / scales / ...) give
-        # it independent collectives to overlap (the north-star requirement).
-        # Structurally, d_sh depends only on the composite backward's color
-        # cotangent (d_sh = d_rgb x basis), which finalizes BEFORE the
-        # projection backward computes d_means/d_quats/d_scales — so the SH
-        # all-reduce (48 of 61 grad floats per splat) has real compute left
-        # to hide behind.
-        loss = lax.psum(loss, ("views", "tiles"))
-        axes = ("views", "tiles")
-        k = grads.sh.shape[-1]
-        if sh_psum_chunks > 1 and k % sh_psum_chunks == 0:
-            # split the dominant collective into coefficient-band chunks:
-            # smaller all-reduces issue as their slices are ready and
-            # pipeline with the remaining backward instead of waiting to
-            # launch one monolithic transfer
-            step = k // sh_psum_chunks
-            sh_parts = [
-                lax.psum(grads.sh[..., i * step:(i + 1) * step], axes)
-                for i in range(sh_psum_chunks)
-            ]
-            d_sh = jnp.concatenate(sh_parts, axis=-1)
-            grads = dataclasses.replace(
-                grads,
-                means=lax.psum(grads.means, axes),
-                sh=d_sh,
-                opacities=lax.psum(grads.opacities, axes),
-                log_scales=lax.psum(grads.log_scales, axes),
-                quats=lax.psum(grads.quats, axes),
-            )
-        else:
-            grads = jax.tree.map(lambda g: lax.psum(g, axes), grads)
+        # grads.sh was already all-reduced inside the backward (_psum_in_bwd,
+        # where compute remains to hide it behind); the small remaining
+        # leaves ride one terminal psum. Do NOT tree-map over grads: a
+        # second psum of sh would double-count.
+        loss = lax.psum(loss, axes)
+        grads = dataclasses.replace(
+            grads,
+            means=lax.psum(grads.means, axes),
+            opacities=lax.psum(grads.opacities, axes),
+            log_scales=lax.psum(grads.log_scales, axes),
+            quats=lax.psum(grads.quats, axes),
+        )
         return loss, grads
 
     return jax.shard_map(
