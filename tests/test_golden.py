@@ -37,6 +37,17 @@ def _render_cases():
             cfg_t,
         )
     )
+
+    # garden stand-in (BASELINE config 3 statistics, io/synth.py) at a
+    # CI-friendly scale; the full 1.5M/1080p render of the SAME generator
+    # through the CLI is the committed doc artifact tests/golden/garden_*.png
+    from splatapult_tpu.io.synth import garden_cameras, make_garden_scene
+
+    gcam = garden_cameras(1, width=320, height_px=192)
+    gcfg = RenderConfig(width=320, height=192, pipeline="tiled", tile_size=16,
+                        tile_block=8, max_instance_mult=8)
+    cases["garden_40k_tiled"] = np.asarray(
+        render(make_garden_scene(40_000, seed=0), gcam, gcfg))
     return cases
 
 
