@@ -358,10 +358,15 @@ def calibrate_config(scene: GaussianScene, cameras: Camera,
     if mats.ndim == 2:
         demand = int(_demand(scene, cameras))
     else:
-        demand = max(
-            int(_demand(scene, Camera(cameras.cam_to_world[i], cameras.proj[i])))
-            for i in range(mats.shape[0])
-        )
+        # one jitted pass over the whole camera batch (lax.map keeps the
+        # per-view demand body compiled once) and ONE readback of the peak —
+        # a Python loop here costs a device round trip per view, which this
+        # environment's tunnel turns into seconds at 32+ views
+        @jax.jit
+        def _peak(scene, cams):
+            return jnp.max(jax.lax.map(lambda c: _demand(scene, c), cams))
+
+        demand = int(_peak(scene, cameras))
     n = max(scene.means.shape[0], 1)
     mult = max(headroom * demand, 4096) / n
     return dataclasses.replace(config, max_instance_mult=mult)

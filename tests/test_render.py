@@ -14,8 +14,8 @@ from splatapult_tpu.reference.raster import reference_render
 from splatapult_tpu.render import Camera, RenderConfig, render, render_batch
 
 
-def _debug_camera(width=128, height=128):
-    cam_to_world = T.look_at(eye=[1.2, 1.1, 1.3], target=[0.3, 0.3, 0.3], up=[0.0, 1.0, 0.0])
+def _debug_camera(width=128, height=128, eye=(1.2, 1.1, 1.3)):
+    cam_to_world = T.look_at(eye=list(eye), target=[0.3, 0.3, 0.3], up=[0.0, 1.0, 0.0])
     return Camera.from_fov(cam_to_world, fovy=np.pi / 4, width=width, height=height)
 
 
@@ -235,3 +235,15 @@ def test_calibrate_config_right_sizes_capacity():
                            max_instance_mult=cal.max_instance_mult)
     bins = bin_splats(d["mean2d"], d["extent"], grid, depth=d["depth"])
     assert int(bins["num_culled_instances"]) == 0
+
+    # batched cameras: peak demand across views, computed in ONE jitted pass
+    import jax.numpy as jnp
+
+    far_cam = _debug_camera(64, 64, eye=(6.0, 6.0, 6.0))  # smaller footprint
+    batch = Camera(
+        cam_to_world=jnp.stack([cam.cam_to_world, far_cam.cam_to_world]),
+        proj=jnp.stack([cam.proj, far_cam.proj]),
+    )
+    cal_b = calibrate_config(scene, batch, cfg)
+    # the batch peak must cover the single-view demand of its worst view
+    assert cal_b.max_instance_mult >= cal.max_instance_mult * 0.999
