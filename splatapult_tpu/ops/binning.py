@@ -133,8 +133,13 @@ _EXPAND_WBLK = _EXPAND_C // _EXPAND_CTAB + 1  # window = WBLK * CTAB rows
 # window reductions, fields capped by a 31-bit packing budget — infeasible
 # past ~2M instances, e.g. the 1.5M-splat 1080p garden scene).
 # "auto" tries them in preference order, skipping infeasible ones; onehot
-# leads (it is the only feasible impl at garden scale; head-to-head timing:
-# tools/microbench_expand.py, results in PERF.md).
+# leads: it is faster where both are feasible (1M ball/1080p: bin_splats
+# 18.0 ms onehot vs 20.5 packed vs 36.8 fallback, tools/microbench_expand.py)
+# and the only feasible kernel impl at garden scale. "packed" is retained
+# deliberately as an INDEPENDENT implementation of the same contract: the
+# parametrized tests require both to match the scatter+cummax fallback
+# bit-exactly, which cross-validates the onehot transport path (whose
+# failure mode — MXU bf16 truncation — is invisible in CPU interpret mode).
 _EXPAND_IMPL = "auto"
 _EXPAND_ORDER = ("onehot", "packed")
 
