@@ -153,3 +153,58 @@ def test_sharded_grads_chunked_sh_psum_match():
         a, b = np.asarray(getattr(g4, name)), np.asarray(getattr(g1, name))
         scale = np.abs(b).max() + 1e-8
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-6, err_msg=name)
+
+
+def test_psum_in_bwd_marker_semantics():
+    """_psum_in_bwd is identity forward; its cotangent is all-reduced —
+    exactly once (the train step must not psum sh a second time)."""
+    import jax
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    from splatapult_tpu.parallel.mesh import _psum_in_bwd
+
+    mesh = make_render_mesh(num_tile_shards=4, num_view_shards=2)
+    x = jnp.arange(8.0)
+
+    def shard_fn(x):
+        def f(v):
+            # per-shard loss depends on the marked value; each shard
+            # contributes a different weight so the psum is observable
+            w = 1.0 + lax.axis_index("tiles").astype(jnp.float32)
+            return jnp.sum(_psum_in_bwd(v, ("views", "tiles")) * w)
+
+        val, grad = jax.value_and_grad(f)(x)
+        return val, grad
+
+    val, grad = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P(),), out_specs=(P(), P()),
+        check_vma=False,
+    )(x)
+    # forward: identity (per-shard values; any shard's val is its own sum)
+    # backward: sum over shards of w = 2 views * (1+2+3+4) = 20 per element
+    np.testing.assert_allclose(np.asarray(grad), np.full(8, 20.0), rtol=1e-6)
+
+
+def test_expand_impl_feasibility_selection():
+    """The auto impl order must pick onehot at garden-scale sizes where the
+    packed budget is infeasible, and reject both only past 2^24."""
+    from splatapult_tpu.ops.binning import _expand_impl_ok
+
+    # garden-scale: emax ~2.4M, 1.5M splats, 2040 tiles
+    emax, n, tiles = 2_408_448, 1_500_000, 2040
+    fbt, fbn = tiles.bit_length(), 60 .bit_length()
+    ob = max(emax.bit_length(), n.bit_length())
+    assert _expand_impl_ok("onehot", emax, n, tiles, fbt, fbn, ob)
+    assert not _expand_impl_ok("packed", emax, n, tiles, fbt, fbn, ob)
+    # small config: both feasible
+    emax, n, tiles = 65536, 4096, 48
+    fbt, fbn = tiles.bit_length(), 8 .bit_length()
+    ob = max(emax.bit_length(), n.bit_length())
+    assert _expand_impl_ok("onehot", emax, n, tiles, fbt, fbn, ob)
+    assert _expand_impl_ok("packed", emax, n, tiles, fbt, fbn, ob)
+    # past the one-hot exactness bound: neither
+    emax = 2**24
+    ob = emax.bit_length()
+    assert not _expand_impl_ok("onehot", emax, n, tiles, fbt, fbn, ob)
+    assert not _expand_impl_ok("packed", emax, n, tiles, fbt, fbn, ob)
