@@ -151,9 +151,12 @@ def main():
     _enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--scene", default="garden", choices=("garden", "ball"),
+        "--scene", default="both", choices=("garden", "ball", "both"),
         help="garden = BASELINE config 3's trained-capture stand-in "
-             "(io/synth.py); ball = round-1's uniform random ball",
+             "(io/synth.py); ball = round-1's uniform random ball; both "
+             "(default) = one tagged JSON line per scene (ball 1M first for "
+             "round-over-round series continuity, garden LAST = the headline "
+             "line drivers that read a single line pick up)",
     )
     parser.add_argument("--splats", type=int, default=1_500_000,
                         help="config 3 names ~1.5M splats")
@@ -185,6 +188,11 @@ def main():
     )
     parser.add_argument("--tile-size", type=int, default=32)
     parser.add_argument("--tile-block", type=int, default=128)
+    parser.add_argument(
+        "--depth-bits", type=int, default=0, choices=(0, 16, 32),
+        help="depth precision in the instance sort key (0 = auto: 16-bit "
+             "packed keys for --fwd-only, exact f32 for fwd+bwd)",
+    )
     # The bench's default profile is the production-training configuration:
     # two documented, test-covered precision knobs are ON (the library's
     # RenderConfig defaults keep both OFF, i.e. exact f32). Ablations and
@@ -226,15 +234,42 @@ def main():
 
     import jax.numpy as jnp
 
-    from splatapult_tpu.core import transforms as T
-    from splatapult_tpu.render import Camera, RenderConfig, render
+    if args.scene == "both" and not args.mesh:
+        # series continuity (VERDICT r2): the round-1 artifact timed the 1M
+        # ball, round 2 the garden stand-in. Measure BOTH and print ONE JSON
+        # line — the garden headline (comparable to BENCH_r02) carrying the
+        # ball-1M record (comparable to BENCH_r01) as a nested field.
+        ball = _bench_scene_run(args, "ball", 1_000_000)
+        garden = _bench_scene_run(args, "garden", args.splats)
+        garden["series_ball_1m"] = ball
+        print(json.dumps(garden))
+        return
+    kind = "garden" if args.scene == "both" else args.scene
 
-    scene = make_bench_scene(args.scene, args.splats)
+    scene = make_bench_scene(kind, args.splats)
     # the garden generator returns HOST numpy arrays; without an explicit
     # device_put every timed call re-transfers the ~350 MB scene through the
     # tunnel (~12 s/call measured). One transfer up front instead.
     scene = jax.tree.map(jnp.asarray, scene)
-    if args.scene == "garden":
+    config = _make_config(args)
+    cam = _make_cameras(args, kind)
+    if args.instance_mult <= 0.0:
+        config = _calibrated(args, scene, cam, config)
+
+    if args.mesh:
+        bench_mesh(args, scene, config)
+        return
+    print(json.dumps(_timed_run(args, kind, scene, cam, config)))
+
+
+def _make_cameras(args, kind):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from splatapult_tpu.core import transforms as T
+    from splatapult_tpu.render import Camera
+
+    if kind == "garden":
         from splatapult_tpu.io.synth import garden_cameras
 
         cam = garden_cameras(args.views, width=args.width, height_px=args.height)
@@ -256,31 +291,63 @@ def main():
             T.look_at(eye=[0.0, 0.8, 4.5], target=[0, 0, 0], up=[0, 1, 0]),
             fovy=np.pi / 4, width=args.width, height=args.height,
         )
-    if args.views > 1:
-        from splatapult_tpu.render import render_batch
-    config = RenderConfig(
+    return cam
+
+
+def _make_config(args):
+    from splatapult_tpu.render import RenderConfig
+
+    # --fwd-only defaults to the viewer production profile: 16-bit packed
+    # depth keys (the reference's own sort quantizes depth far more coarsely,
+    # shader/presort_compute.glsl:52-53); fwd+bwd defaults to exact f32 depth
+    depth_bits = args.depth_bits or (16 if args.fwd_only else 32)
+    return RenderConfig(
         width=args.width, height=args.height, pipeline="tiled",
         tile_size=args.tile_size, tile_block=args.tile_block,
         max_instance_mult=args.instance_mult,
         early_stop_eps=args.early_stop,
         grad_sort_dtype=args.grad_sort_dtype,
         packed_colors=args.packed_colors,
+        forward_only=args.fwd_only,
+        depth_bits=depth_bits,
     )
-    if args.instance_mult <= 0.0:
-        # auto-calibrate capacity from the measured demand of the bench
-        # view(s): one tiny extra compile, then every per-step
-        # sort/gather/kernel runs at right-sized rather than worst-case
-        # capacity (render.calibrate_config)
-        from splatapult_tpu.render import calibrate_config
 
-        config = calibrate_config(scene, cam, config)
-        if args.verbose:
-            print(f"# auto capacity: mult {config.max_instance_mult:.3f} "
-                  f"({config.max_instance_mult / 1.06:.2f} inst/splat measured)")
 
-    if args.mesh:
-        bench_mesh(args, scene, config)
-        return
+def _calibrated(args, scene, cam, config):
+    # auto-calibrate capacity from the measured demand of the bench
+    # view(s): one tiny extra compile, then every per-step
+    # sort/gather/kernel runs at right-sized rather than worst-case
+    # capacity (render.calibrate_config)
+    from splatapult_tpu.render import calibrate_config
+
+    config = calibrate_config(scene, cam, config)
+    if args.verbose:
+        print(f"# auto capacity: mult {config.max_instance_mult:.3f} "
+              f"({config.max_instance_mult / 1.06:.2f} inst/splat measured)")
+    return config
+
+
+def _bench_scene_run(args, kind, splats):
+    """Build + time one scene; returns the tagged result dict."""
+    import jax
+    import jax.numpy as jnp
+
+    a = argparse.Namespace(**vars(args))
+    a.splats = splats
+    scene = make_bench_scene(kind, splats)
+    scene = jax.tree.map(jnp.asarray, scene)  # garden returns host numpy
+    config = _make_config(a)
+    cam = _make_cameras(a, kind)
+    if a.instance_mult <= 0.0:
+        config = _calibrated(a, scene, cam, config)
+    return _timed_run(a, kind, scene, cam, config)
+
+
+def _timed_run(args, kind, scene, cam, config):
+    import jax
+    import jax.numpy as jnp
+
+    from splatapult_tpu.render import render, render_batch
 
     # Timing methodology: this environment's TPU tunnel makes
     # jax.block_until_ready a no-op until the first device->host readback, and
@@ -349,11 +416,22 @@ def main():
     t_k = min(timed(k) for _ in range(3))
     if k > 1 and t_k > t_single:
         dt = (t_k - t_single) / (k - 1)
+        timing = "chained-difference"
     else:
         # degenerate (noise swamped the difference): upper-bound the step by
         # the K-step total over K — pessimistic (includes the round trip once)
-        # but never nonsensical
+        # but never nonsensical. Tagged in the JSON so readers can tell an
+        # upper bound from a clean per-step measurement.
         dt = t_k / k
+        timing = "degenerate-upper-bound"
+        import sys
+
+        print(
+            f"# WARNING: degenerate timing fallback (1-step {t_single * 1e3:.1f}ms"
+            f" >= {k}-step {t_k * 1e3:.1f}ms); step time includes one tunnel "
+            f"round trip — treat as an upper bound",
+            file=sys.stderr,
+        )
 
     pixels = args.width * args.height * args.views
     value = pixels / dt
@@ -364,21 +442,21 @@ def main():
             f"# compile={compile_s:.1f}s step={dt * 1e3:.2f}ms "
             f"(1-step total={t_single * 1e3:.1f}ms, {k}-step total={t_k * 1e3:.1f}ms) "
             f"splats={args.splats} {args.width}x{args.height} views={args.views} "
-            f"mode={'fwd' if args.fwd_only else 'fwd+bwd'}",
+            f"mode={'fwd' if args.fwd_only else 'fwd+bwd'} scene={kind}",
             file=sys.stderr,
         )
-    print(
-        json.dumps(
-            {
-                "metric": "pixels/s per chip fwd+bwd 1080p"
-                if not args.fwd_only
-                else "pixels/s per chip fwd 1080p",
-                "value": value,
-                "unit": "pixels/s",
-                "vs_baseline": value / REFERENCE_PIXELS_PER_S,
-            }
-        )
-    )
+    return {
+        "metric": "pixels/s per chip fwd+bwd 1080p"
+        if not args.fwd_only
+        else "pixels/s per chip fwd 1080p",
+        "value": value,
+        "unit": "pixels/s",
+        "vs_baseline": value / REFERENCE_PIXELS_PER_S,
+        "scene": kind,
+        "splats": args.splats,
+        "step_ms": dt * 1e3,
+        "timing": timing,
+    }
 
 
 if __name__ == "__main__":

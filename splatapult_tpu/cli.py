@@ -134,7 +134,7 @@ def _maybe_overlay(img, args, cameras, cam):
 
 
 def cmd_render(args):
-    from splatapult_tpu.render import render, render_batch
+    from splatapult_tpu.render import render
     from splatapult_tpu.utils.image import save_png
 
     scene, cameras, floor, _ = _load_scene_and_assets(args)
@@ -142,12 +142,15 @@ def cmd_render(args):
     cfg = _config(args)
     t0 = time.time()
     if args.stereo:
-        # the VR stereo pair (ref: src/xrbuddy.cpp:1689-1800), rendered as a
-        # 2-view batch and written side by side; per-splat work is shared by
-        # the batch the way the reference shares its sort across eyes
+        # the VR stereo pair (ref: src/xrbuddy.cpp:1689-1800), written side by
+        # side; the tile binning is built ONCE and shared across both eyes the
+        # way the reference shares its per-frame sort (ref: src/app.cpp:
+        # 603-607) — see splatapult_tpu/stereo.py for the exactness argument
+        from splatapult_tpu.stereo import render_stereo
+
         if args.show_cameras:
             log.warning("--show-cameras is not drawn on --stereo renders")
-        pair = render_batch(scene, cam.stereo_pair(ipd=args.ipd), cfg)
+        pair = render_stereo(scene, cam, cfg, args.ipd)
         img = np.concatenate([np.asarray(pair[0]), np.asarray(pair[1])], axis=1)
     else:
         img = np.asarray(render(scene, cam, cfg))

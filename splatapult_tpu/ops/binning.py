@@ -79,6 +79,22 @@ class TileGrid:
     # per-splat color error 1.2e-4 (the reference's own --fp16 FBO stores the
     # whole accumulated frame at half precision, far coarser)
     packed_colors: bool = False
+    # forward-only rendering (the reference's actual mode — it has no backward
+    # at all, SURVEY.md "What the reference is"): drop the m_pos payload from
+    # the main instance sort. m_pos exists solely so the backward's transpose
+    # sort can ride gradients back to enumeration order; a viewer never pays
+    # for it. Differentiating a forward_only composite raises.
+    forward_only: bool = False
+    # depth precision inside the instance sort key: 32 = full f32 depth bits
+    # (exact ordering; the default), 16 = the top 16 f32 bits (bf16 depth,
+    # ~0.4% relative precision) PACKED with the tile id into ONE int32 key —
+    # one sort operand and one comparison key fewer. The reference itself
+    # quantizes depth into its 32-bit radix keys (shader/presort_compute.
+    # glsl:52-53) far more coarsely near the far plane; splats whose depths
+    # agree through the top 16 bits order by the descending-index tie-break
+    # (the reference's submission-order semantics). Requires num_tiles < 2^15
+    # (any 1080p tile32 grid qualifies); falls back to 32 otherwise.
+    depth_bits: int = 32
 
     @property
     def tiles_x(self) -> int:
@@ -104,10 +120,11 @@ class TileGrid:
     def create(width, height, num_splats, tile_size=32, block=128,
                max_instance_mult=6, alpha_cutoff=1.0 / 256.0, early_stop_eps=0.0,
                accum_dtype="float32", grad_sort_dtype="float32",
-               packed_colors=False):
+               packed_colors=False, forward_only=False, depth_bits=32):
         assert block & (block - 1) == 0, "block must be a power of two"
         assert accum_dtype in ("float32", "bfloat16"), accum_dtype
         assert grad_sort_dtype in ("float32", "bfloat16"), grad_sort_dtype
+        assert depth_bits in (16, 32), depth_bits
         emax = max(4096, -(-int(max_instance_mult * max(num_splats, 1)) // 4096) * 4096)
         tiles = (-(-width // tile_size)) * (-(-height // tile_size))
         mcap = emax + tiles * block  # worst-case alignment padding: < block per tile
@@ -116,6 +133,7 @@ class TileGrid:
             emax=emax, mcap=mcap, alpha_cutoff=alpha_cutoff,
             early_stop_eps=early_stop_eps, accum_dtype=accum_dtype,
             grad_sort_dtype=grad_sort_dtype, packed_colors=packed_colors,
+            forward_only=forward_only, depth_bits=depth_bits,
         )
 
 
@@ -363,7 +381,8 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
 
     Returns dict:
       inst_splat [mcap] int32 — splat index per aligned instance slot (N = null)
-      m_pos [mcap] int32 — enumeration id per slot (emax = null/pad sentinel)
+      m_pos [mcap] int32 — enumeration id per slot (emax = null/pad sentinel);
+        ABSENT when grid.forward_only (it exists only for the backward)
       seg_offs/seg_cnt [N] — per-splat enumeration segments (for the backward
         gather transpose in ops/composite.py)
       block_tile [NB] int32 — owning tile of each B-block
@@ -550,9 +569,15 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
     # very end. Every tile segment is now exactly ceil(count/b)*b long, so
     # segment starts are b-aligned and the sorted order IS the block-aligned
     # instance buffer.
+    fwd_only = grid.forward_only
     tile_all = jnp.concatenate([tile, pad_tile])
     s_all = jnp.concatenate([s, jnp.full((pad_cap,), n, jnp.int32)])
-    m_all = jnp.concatenate([m, jnp.full((pad_cap,), emax, jnp.int32)])
+    # m_pos exists solely for the backward's transpose sort; forward-only
+    # drops the whole payload operand from the sort (~1 operand in 4)
+    m_all = None if fwd_only else jnp.concatenate(
+        [m, jnp.full((pad_cap,), emax, jnp.int32)]
+    )
+    m_pos = None
     if depth is not None:
         # per-instance depth + descending-splat-index tie-break as extra sort
         # keys; -s doubles as the inst_splat payload (keys are fully unique —
@@ -567,19 +592,39 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
             dep_enum = jnp.take(
                 jnp.concatenate([depth_bits, jnp.full((1,), imax, jnp.int32)]), s
             )
-        dep_all = jnp.concatenate(
-            [jnp.where(valid_m, dep_enum, imax), jnp.full((pad_cap,), imax, jnp.int32)]
-        )
-        tile_sorted, _, neg_s, m_pos = lax.sort(
-            (tile_all, dep_all, -s_all, m_all), num_keys=3, is_stable=False
-        )
-        inst_splat = -neg_s
+        if grid.depth_bits == 16 and num_tiles < (1 << 15):
+            # ONE packed key (tile << 16 | top-16 depth bits): tile always
+            # dominates; bf16-precision depth within the tile; ties fall to
+            # the -s key (reference submission-order parity). Real depths
+            # occupy [0, 0x7F80] of the low half, so the 0xFFFF pad/sentinel
+            # depth sorts strictly after every real instance of its tile.
+            key = (tile << 16) | jnp.where(
+                valid_m, (dep_enum >> 16) & 0xFFFF, 0xFFFF
+            )
+            key_all = jnp.concatenate([key, (pad_tile << 16) | 0xFFFF])
+            ops = (key_all, -s_all) + (() if fwd_only else (m_all,))
+            res = lax.sort(ops, num_keys=2, is_stable=False)
+            tile_sorted, inst_splat = res[0] >> 16, -res[1]
+            if not fwd_only:
+                m_pos = res[2]
+        else:
+            dep_all = jnp.concatenate(
+                [jnp.where(valid_m, dep_enum, imax),
+                 jnp.full((pad_cap,), imax, jnp.int32)]
+            )
+            ops = (tile_all, dep_all, -s_all) + (() if fwd_only else (m_all,))
+            res = lax.sort(ops, num_keys=3, is_stable=False)
+            tile_sorted, inst_splat = res[0], -res[2]
+            if not fwd_only:
+                m_pos = res[3]
     else:
         # input pre-sorted front-to-back: enum order is depth order; a stable
         # tile sort preserves it
-        tile_sorted, inst_splat, m_pos = lax.sort(
-            (tile_all, s_all, m_all), num_keys=1, is_stable=True
-        )
+        ops = (tile_all, s_all) + (() if fwd_only else (m_all,))
+        res = lax.sort(ops, num_keys=1, is_stable=True)
+        tile_sorted, inst_splat = res[0], res[1]
+        if not fwd_only:
+            m_pos = res[2]
 
     # ---- block metadata: free strided slices of the sorted tile ids ----
     nb = grid.num_blocks
@@ -601,9 +646,8 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
 
     block_meta = (block_tile << 2) | (block_first << 1) | block_live
 
-    return {
+    bins = {
         "inst_splat": inst_splat,
-        "m_pos": m_pos,
         "block_meta": block_meta,
         "seg_offs": offs,
         "seg_cnt": cnt,
@@ -614,3 +658,6 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
         "tile_count": tile_count,
         "num_culled_instances": overflow,
     }
+    if not fwd_only:
+        bins["m_pos"] = m_pos
+    return bins

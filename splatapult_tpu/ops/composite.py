@@ -452,6 +452,13 @@ def composite_from_feats(feats, bins, grid: TileGrid):
 
 
 def _cff_fwd(feats, bins, grid):
+    if grid.forward_only:
+        raise ValueError(
+            "composite_from_feats cannot be differentiated with "
+            "forward_only=True: the binning dropped the m_pos payload the "
+            "backward's transpose sort needs. Render with forward_only=False "
+            "to train."
+        )
     src = _pack_color_feats(feats) if grid.packed_colors else feats
     inst = jnp.take(src, bins["inst_splat"], axis=0)
     out = _fwd_call(inst, bins["block_meta"], grid)

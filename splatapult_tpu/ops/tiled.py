@@ -29,6 +29,8 @@ def _grid_from_config(config, num_splats: int) -> TileGrid:
         accum_dtype=config.accum_dtype,
         grad_sort_dtype=config.grad_sort_dtype,
         packed_colors=config.packed_colors,
+        forward_only=config.forward_only,
+        depth_bits=config.depth_bits,
     )
 
 
@@ -52,6 +54,24 @@ def pack_features(mean2d, conic, rgb, alpha):
     return jnp.concatenate([feats, null], axis=0)
 
 
+def assemble_image(out, tile_ok, grid: TileGrid, config) -> jax.Array:
+    """Per-tile kernel output [T, 8, P] -> [H, W, 4] image (row 0 = top)."""
+    # tiles never visited by the kernel hold garbage -> transparent background
+    background = jnp.concatenate(
+        [jnp.zeros((4,)), jnp.ones((1,)), jnp.zeros((3,))]
+    ).astype(out.dtype)
+    out = jnp.where(tile_ok[:, None, None], out, background[None, :, None])
+
+    ts = grid.tile_size
+    img = (
+        out[:, :4, :]
+        .reshape(grid.tiles_y, grid.tiles_x, 4, ts, ts)
+        .transpose(0, 3, 1, 4, 2)
+        .reshape(grid.tiles_y * ts, grid.tiles_x * ts, 4)
+    )
+    return img[: config.height, : config.width, :].astype(jnp.float32)
+
+
 def composite_tiled(sorted_splats, config, return_aux: bool = False):
     """Render sorted splats through the tiled Pallas pipeline -> [H, W, 4]."""
     mean2d = sorted_splats["mean2d"]
@@ -69,21 +89,7 @@ def composite_tiled(sorted_splats, config, return_aux: bool = False):
         mean2d, sorted_splats["conic"], sorted_splats["rgb"], sorted_splats["alpha"]
     )
     out = composite_from_feats(feats, bins, grid)
-
-    # tiles never visited by the kernel hold garbage -> transparent background
-    background = jnp.concatenate(
-        [jnp.zeros((4,)), jnp.ones((1,)), jnp.zeros((3,))]
-    ).astype(out.dtype)
-    out = jnp.where(bins["tile_ok"][:, None, None], out, background[None, :, None])
-
-    ts = grid.tile_size
-    img = (
-        out[:, :4, :]
-        .reshape(grid.tiles_y, grid.tiles_x, 4, ts, ts)
-        .transpose(0, 3, 1, 4, 2)
-        .reshape(grid.tiles_y * ts, grid.tiles_x * ts, 4)
-    )
-    img = img[: config.height, : config.width, :].astype(jnp.float32)
+    img = assemble_image(out, bins["tile_ok"], grid, config)
     if return_aux:
         return img, {
             "num_culled_instances": bins["num_culled_instances"],

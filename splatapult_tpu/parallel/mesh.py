@@ -129,17 +129,24 @@ def render_batch_sharded(scene, cameras: Camera, config: RenderConfig, mesh: Mes
 
 @functools.lru_cache(maxsize=32)
 def make_sharded_train_step(config: RenderConfig, mesh: Mesh, optimizer=None,
-                            sh_psum_chunks: int = 1):
+                            sh_psum_chunks: int = 1,
+                            grad_allreduce: str = "psum"):
     """Build (and cache) the jitted SPMD train step for (config, mesh, optimizer).
 
     Rebuilding the shard_map per call would re-trace and re-compile the whole
     SPMD program every step; training loops must reuse this compiled function.
+
+    NOTE the lru_cache keys on the ``optimizer`` OBJECT: optax
+    GradientTransformations are NamedTuples of fresh closures, so two
+    `optax.adam(1e-3)` calls are DIFFERENT keys — construct the optimizer
+    once and reuse it, or every call recompiles the whole SPMD program
+    (and the cache retains up to 32 of them).
     """
 
     def step_fn(scene, cameras, targets, opt_state):
         loss, grads = _sharded_value_and_grad(
             scene, cameras, targets, config, mesh,
-            sh_psum_chunks=sh_psum_chunks)
+            sh_psum_chunks=sh_psum_chunks, grad_allreduce=grad_allreduce)
         if optimizer is None:
             return loss, grads, None
         updates, opt_state = optimizer.update(grads, opt_state, scene)
@@ -152,15 +159,74 @@ def make_sharded_train_step(config: RenderConfig, mesh: Mesh, optimizer=None,
 
 
 def sharded_train_step(scene, cameras: Camera, targets, config: RenderConfig, mesh: Mesh,
-                       optimizer=None, opt_state=None, sh_psum_chunks: int = 1):
+                       optimizer=None, opt_state=None, sh_psum_chunks: int = 1,
+                       grad_allreduce: str = "psum"):
     """One SPMD optimization step: render camera batch, L2 loss vs targets,
     grads to all splat parameters all-reduced across the mesh, optional optax
     update. Returns (loss, grads_or_updated_scene, new_opt_state).
 
     Compiled once per (config, mesh, optimizer) via make_sharded_train_step.
     """
-    return make_sharded_train_step(config, mesh, optimizer, sh_psum_chunks)(
+    return make_sharded_train_step(config, mesh, optimizer, sh_psum_chunks,
+                                   grad_allreduce)(
         scene, cameras, targets, opt_state)
+
+
+def ring_all_reduce(x, axis_name: str):
+    """All-reduce over ONE named axis as an explicit ppermute ring.
+
+    The manual alternative SURVEY.md section 5 names for the north-star
+    overlap: a ring reduce-scatter (D-1 permute+add steps) followed by a ring
+    all-gather (D-1 permute steps), all expressed as `lax.ppermute` — 2(D-1)
+    INDEPENDENT small collectives instead of one monolithic all-reduce. A
+    monolithic terminal all-reduce is combined and sunk by this XLA (AOT
+    evidence: tools/aot_overlap_hlo.py), leaving nothing to overlap; a chain
+    of permutes gives the latency-hiding scheduler points to interleave the
+    remaining backward compute. Bandwidth-optimal: each element crosses each
+    link 2(D-1)/D times, the same as the ring the all-reduce would run.
+    """
+    d = lax.psum(1, axis_name)  # static axis size
+    if d == 1:
+        return x
+    idx = lax.axis_index(axis_name)
+    shape = x.shape
+    flat = x.reshape(-1)
+    pad = (-flat.shape[0]) % d
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    flat = flat.reshape(d, -1)
+    fwd = [(i, (i + 1) % d) for i in range(d)]
+
+    def chunk(k):
+        return lax.dynamic_index_in_dim(flat, lax.rem(k + 2 * d, d), axis=0,
+                                        keepdims=False)
+
+    # reduce-scatter: a partial created at device m targets chunk (m - 1);
+    # after D-1 permute+add hops, device i holds the full sum of chunk i
+    acc = chunk(idx - 1)
+    for s in range(d - 1):
+        acc = lax.ppermute(acc, axis_name, fwd)
+        acc = acc + chunk(idx - s - 2)
+    # all-gather: circulate the finished chunks back around the ring
+    out = lax.dynamic_update_index_in_dim(
+        jnp.zeros_like(flat), acc, lax.rem(idx + 2 * d, d), axis=0)
+    cur = acc
+    for s in range(d - 1):
+        cur = lax.ppermute(cur, axis_name, fwd)
+        out = lax.dynamic_update_index_in_dim(
+            out, cur, lax.rem(idx - s - 1 + 2 * d, d), axis=0)
+    out = out.reshape(-1)
+    if pad:
+        out = out[: out.shape[0] - pad]
+    return out.reshape(shape)
+
+
+def ring_psum(x, axes) -> jax.Array:
+    """All-reduce over the named axes via sequential per-axis ppermute rings
+    (ring over 'tiles', then 'views' — a sum of sums is the total sum)."""
+    for ax in axes:
+        x = ring_all_reduce(x, ax)
+    return x
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -192,8 +258,26 @@ def _psum_in_bwd_bwd(axes, _, g):
 _psum_in_bwd.defvjp(_psum_in_bwd_fwd, _psum_in_bwd_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _ring_psum_in_bwd(x, axes):
+    """_psum_in_bwd with the cotangent all-reduced as an explicit ppermute
+    ring (see ring_all_reduce) instead of one monolithic lax.psum."""
+    return x
+
+
+def _ring_psum_in_bwd_fwd(x, axes):
+    return x, None
+
+
+def _ring_psum_in_bwd_bwd(axes, _, g):
+    return (ring_psum(g, axes),)
+
+
+_ring_psum_in_bwd.defvjp(_ring_psum_in_bwd_fwd, _ring_psum_in_bwd_bwd)
+
+
 def _sharded_value_and_grad(scene, cameras: Camera, targets, config: RenderConfig, mesh: Mesh,
-                           sh_psum_chunks: int = 1):
+                           sh_psum_chunks: int = 1, grad_allreduce: str = "psum"):
     """(loss, grads) with tile/view sharding and explicit cross-chip psum.
 
     The SH gradient — 48 of the 61 gradient floats per splat, the
@@ -207,10 +291,19 @@ def _sharded_value_and_grad(scene, cameras: Camera, targets, config: RenderConfi
     into that many coefficient-band chunks with one psum each, giving the
     scheduler independent smaller collectives to pipeline
     (tools/profile_overlap.py / tools/aot_overlap_hlo.py measure this).
+
+    ``grad_allreduce="ring"`` swaps the in-backward SH all-reduce for the
+    manual chunked ppermute ring (ring_all_reduce): this XLA combines and
+    sinks monolithic terminal all-reduces where nothing can hide them (AOT
+    evidence, PERF.md "grad-overlap"); a ring of 2(D-1) independent permutes
+    gives the scheduler interleaving points without waiting for async
+    all-reduce support. "psum" stays the default.
     """
+    assert grad_allreduce in ("psum", "ring"), grad_allreduce
     num_shards = mesh.shape["tiles"]
     band_h = _shard_config(config, num_shards).height
     axes = ("views", "tiles")
+    marker = _psum_in_bwd if grad_allreduce == "psum" else _ring_psum_in_bwd
 
     def shard_loss(scene, cameras, targets):
         # SH grads all-reduce in-backward (see _psum_in_bwd). The marker
@@ -220,10 +313,10 @@ def _sharded_value_and_grad(scene, cameras: Camera, targets, config: RenderConfi
         if sh_psum_chunks > 1 and k % sh_psum_chunks == 0:
             step = k // sh_psum_chunks
             sh = jnp.concatenate(
-                [_psum_in_bwd(scene.sh[..., i * step:(i + 1) * step], axes)
+                [marker(scene.sh[..., i * step:(i + 1) * step], axes)
                  for i in range(sh_psum_chunks)], axis=-1)
         else:
-            sh = _psum_in_bwd(scene.sh, axes)
+            sh = marker(scene.sh, axes)
         scene = dataclasses.replace(scene, sh=sh)
         d = lax.axis_index("tiles")
 

@@ -121,6 +121,16 @@ class RenderConfig:
     # ref: shader/desktop_frag.glsl:19-30, enabled for the VR mirror window
     # at src/app.cpp:564-566; it averages a 2x2 dFdx/dFdy grid).
     supersample: int = 1
+    # viewer mode (the reference's only mode — it has no backward at all):
+    # strips backward-supporting plumbing (the m_pos sort payload) from the
+    # hot path. Attempting to differentiate a forward_only render raises.
+    forward_only: bool = False
+    # depth precision in the instance sort key: 32 = exact f32 ordering
+    # (default), 16 = top-16-bit (bf16) depth packed with the tile id into
+    # one sort key — one sort operand + one comparison key fewer; near-equal
+    # depths (<~0.4% apart) fall to the reference's submission-order
+    # tie-break. See ops/binning.TileGrid.depth_bits.
+    depth_bits: int = 32
 
 
 @jax.custom_vjp
@@ -326,6 +336,29 @@ def render(scene: GaussianScene, camera: Camera, config: RenderConfig) -> jax.Ar
     raise ValueError(f"unknown pipeline {config.pipeline!r}")
 
 
+@functools.lru_cache(maxsize=32)
+def _demand_fns(config: RenderConfig, grid):
+    """Jitted demand/peak functions for calibrate_config, cached on the
+    hashable (config, grid) pair so repeated calibrations (e.g. per camera
+    move) hit the jit cache instead of retracing a fresh closure each call."""
+    from splatapult_tpu.ops.binning import instance_demand
+
+    @jax.jit
+    def demand(scene, cam):
+        d = prepare_splats(scene, cam, config, sort=False)
+        return instance_demand(d["mean2d"], d["extent"], grid)
+
+    @jax.jit
+    def peak(scene, cams):
+        # one jitted pass over the whole camera batch (lax.map keeps the
+        # per-view demand body compiled once) and ONE readback of the peak —
+        # a Python loop here costs a device round trip per view, which this
+        # environment's tunnel turns into seconds at 32+ views
+        return jnp.max(jax.lax.map(lambda c: demand(scene, c), cams))
+
+    return demand, peak
+
+
 def calibrate_config(scene: GaussianScene, cameras: Camera,
                      config: RenderConfig, headroom: float = 1.06) -> RenderConfig:
     """Right-size the tiled pipeline's instance capacity for known view(s).
@@ -343,30 +376,18 @@ def calibrate_config(scene: GaussianScene, cameras: Camera,
     cameras: a single Camera or a [V]-batched one (leading axis on both
     fields); the peak demand across views is used.
     """
-    from splatapult_tpu.ops.binning import TileGrid, instance_demand
+    from splatapult_tpu.ops.binning import TileGrid
 
     grid = TileGrid.create(width=config.width, height=config.height,
                            num_splats=scene.means.shape[0],
                            tile_size=config.tile_size)
-
-    @jax.jit
-    def _demand(scene, cam):
-        d = prepare_splats(scene, cam, config, sort=False)
-        return instance_demand(d["mean2d"], d["extent"], grid)
+    demand_fn, peak_fn = _demand_fns(config, grid)
 
     mats = jnp.asarray(cameras.cam_to_world)
     if mats.ndim == 2:
-        demand = int(_demand(scene, cameras))
+        demand = int(demand_fn(scene, cameras))
     else:
-        # one jitted pass over the whole camera batch (lax.map keeps the
-        # per-view demand body compiled once) and ONE readback of the peak —
-        # a Python loop here costs a device round trip per view, which this
-        # environment's tunnel turns into seconds at 32+ views
-        @jax.jit
-        def _peak(scene, cams):
-            return jnp.max(jax.lax.map(lambda c: _demand(scene, c), cams))
-
-        demand = int(_peak(scene, cameras))
+        demand = int(peak_fn(scene, cameras))
     n = max(scene.means.shape[0], 1)
     mult = max(headroom * demand, 4096) / n
     return dataclasses.replace(config, max_instance_mult=mult)

@@ -148,3 +148,15 @@ def test_cli_synth_debug(tmp_path, capsys):
     out = str(tmp_path / "debug.ply")
     main(["synth", "debug", "-o", out])
     assert "16 splats" in capsys.readouterr().out
+
+
+def test_cli_render_stereo_shared_bins(tmp_path, test_ply_path):
+    # --stereo drives the shared-binning stereo path (splatapult_tpu/stereo.py)
+    out = str(tmp_path / "stereo.png")
+    main([
+        "render", test_ply_path, "-o", out, "--width", "32", "--height", "32",
+        "--eye", "0", "0.5", "2.5", "--stereo", "--pipeline", "tiled",
+        "--no-floor",
+    ])
+    img = load_png(out)
+    assert img.shape == (32, 64, 3)  # L/R side by side

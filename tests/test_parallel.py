@@ -208,3 +208,53 @@ def test_expand_impl_feasibility_selection():
     ob = emax.bit_length()
     assert not _expand_impl_ok("onehot", emax, n, tiles, fbt, fbn, ob)
     assert not _expand_impl_ok("packed", emax, n, tiles, fbt, fbn, ob)
+
+
+def test_ring_all_reduce_matches_psum():
+    """The manual ppermute ring (parallel/mesh.ring_all_reduce) must equal
+    lax.psum for every shard, including non-divisible flat lengths."""
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    from splatapult_tpu.parallel.mesh import ring_psum
+
+    mesh = make_render_mesh(num_tile_shards=4, num_view_shards=2)
+    rng = np.random.default_rng(9)
+    for shape in ((8, 7, 3), (13,), (5, 2)):  # 21, 13, 10: none divide 4 or 8
+        x = jnp.asarray(rng.standard_normal((8,) + shape), jnp.float32)
+
+        def shard_fn(x):
+            v = x.reshape(shape) * (1.0 + lax.axis_index("tiles")
+                                    + 10.0 * lax.axis_index("views"))
+            return ring_psum(v, ("views", "tiles")), lax.psum(v, ("views", "tiles"))
+
+        ring, want = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(("views", "tiles")),),
+            out_specs=(P(), P()), check_vma=False,
+        )(x.reshape(8, -1))
+        ring, want = np.asarray(ring), np.asarray(want)
+        # the ring sums in rotation order; elements that cancel are only
+        # accurate relative to the magnitude of the terms, not the result
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(ring / scale, want / scale,
+                                   atol=2e-6, err_msg=str(shape))
+
+
+def test_sharded_grads_ring_allreduce_match():
+    """grad_allreduce='ring' must produce the same grads as the psum path."""
+    rng = np.random.default_rng(7)
+    scene = _random_scene(rng)
+    cams = _camera_batch(2)
+    targets = jnp.asarray(rng.uniform(size=(2, 64, 64, 4)), jnp.float32)
+    mesh = make_render_mesh(num_tile_shards=4, num_view_shards=2)
+    tgt = shard_targets(targets, CFG, mesh)
+    loss_p, g_p, _ = sharded_train_step(scene, cams, tgt, CFG, mesh)
+    loss_r, g_r, _ = sharded_train_step(scene, cams, tgt, CFG, mesh,
+                                        grad_allreduce="ring")
+    np.testing.assert_allclose(float(loss_r), float(loss_p), rtol=1e-6)
+    for name in ("means", "sh", "opacities", "log_scales", "quats"):
+        a, b = np.asarray(getattr(g_r, name)), np.asarray(getattr(g_p, name))
+        scale = np.abs(b).max() + 1e-8
+        # the ring sums in a different (rotation) order than psum
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-6, err_msg=name)

@@ -513,3 +513,105 @@ def test_binning_expand_window_adversarial(monkeypatch, rng, impl):
             b = jax.tree.map(np.asarray, bin_splats(mean2d, ext, grid, depth=depth))
         for k in a:
             np.testing.assert_array_equal(a[k], b[k], err_msg=f"case {i}: {k}")
+
+
+# -------------------------------------------------- forward_only / depth_bits
+
+
+def test_forward_only_image_identical_and_no_mpos(rng):
+    """forward_only drops only backward plumbing: the rendered image must be
+    bit-identical to the default path, and the bins must not carry m_pos."""
+    scene = _random_scene(rng)
+    cam = _camera()
+    cfg_fwd = dataclasses.replace(TILED, forward_only=True)
+    a = np.asarray(render(scene, cam, TILED))
+    b = np.asarray(render(scene, cam, cfg_fwd))
+    np.testing.assert_array_equal(a, b)
+
+    grid = TileGrid.create(width=32, height=32, num_splats=8, tile_size=16,
+                           block=8, forward_only=True)
+    mean2d = jnp.tile(jnp.asarray([[8.0, 8.0]]), (8, 1))
+    bins = bin_splats(mean2d, jnp.full((8,), 2.0), grid,
+                      depth=jnp.arange(8, dtype=jnp.float32) + 1.0)
+    assert "m_pos" not in bins
+
+
+def test_forward_only_grad_raises(rng):
+    scene = _random_scene(rng, n=16)
+    cam = _camera()
+    cfg_fwd = dataclasses.replace(TILED, forward_only=True)
+
+    def loss(s):
+        return jnp.sum(render(s, cam, cfg_fwd) ** 2)
+
+    with pytest.raises(ValueError, match="forward_only"):
+        jax.grad(loss)(scene)
+
+
+def test_depth16_matches_emulated_order(rng):
+    """The packed (tile << 16 | bf16-depth) key must order instances exactly
+    like a numpy emulation of (tile, depth>>16, -splat)."""
+    import splatapult_tpu.ops.binning as B
+
+    grid = TileGrid.create(width=64, height=64, num_splats=48, tile_size=16,
+                           block=8, max_instance_mult=20, depth_bits=16)
+    mean2d = jnp.asarray(rng.uniform(0, 64, (48, 2)), jnp.float32)
+    ext = jnp.asarray(rng.uniform(1.0, 10.0, (48, 2)), jnp.float32)
+    # depths engineered to collide at bf16 granularity in places
+    base = rng.uniform(0.5, 30.0, (48,)).astype(np.float32)
+    base[::4] = base[1::4] * (1.0 + 1e-6)  # sub-bf16 separation -> ties
+    depth = jnp.asarray(base)
+    bins = bin_splats(mean2d, ext, grid, depth=depth)
+    inst = np.asarray(bins["inst_splat"])
+
+    # numpy emulation over the same rects
+    x0, r0, nx, ny, cnt = jax.tree.map(
+        np.asarray, B._tile_rects(mean2d, ext, grid))
+    dbits = np.asarray(depth, np.float32).view(np.int32)
+    rows = []
+    for s in range(48):
+        for j in range(cnt[s]):
+            t = (r0[s] + j // nx[s]) * grid.tiles_x + (x0[s] + j % nx[s])
+            rows.append((t, dbits[s] >> 16, -s, s))
+    rows.sort()
+    want = np.asarray([r[3] for r in rows])
+    got = inst[inst < 48]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_depth16_image_matches_depth32_when_separated():
+    """With depths distinct at bf16 granularity the 16-bit key ordering equals
+    the exact ordering, so the image must be bit-identical."""
+    scene = make_debug_scene()
+    cam = _camera()
+    a = np.asarray(render(scene, cam, TILED))
+    b = np.asarray(render(scene, cam, dataclasses.replace(TILED, depth_bits=16)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_depth16_tie_break_reference_order():
+    grid = TileGrid.create(width=32, height=32, num_splats=4, tile_size=16,
+                           block=8, depth_bits=16)
+    mean2d = jnp.tile(jnp.asarray([[8.0, 8.0]]), (4, 1))
+    bins = bin_splats(mean2d, jnp.full((4,), 2.0), grid,
+                      depth=jnp.asarray([2.0, 2.0, 1.0, 1.0]))
+    inst = np.asarray(bins["inst_splat"])
+    np.testing.assert_array_equal(inst[inst < 4], np.asarray([3, 2, 1, 0]))
+
+
+def test_depth16_infeasible_tile_count_falls_back_exact():
+    """num_tiles >= 2^15 cannot pack into the key; the sort must silently use
+    the exact 32-bit path (identical results to depth_bits=32)."""
+    # 4096 x 2048 at tile 16 -> 256 * 128 = 32768 tiles
+    g16 = TileGrid.create(width=4096, height=2048, num_splats=4, tile_size=16,
+                          block=8, depth_bits=16)
+    g32 = dataclasses.replace(g16, depth_bits=32)
+    assert g16.num_tiles == 32768
+    mean2d = jnp.asarray([[8.0, 8.0], [100.0, 700.0], [2000.0, 1000.0],
+                          [100.0, 700.0]], jnp.float32)
+    ext = jnp.full((4, 2), 30.0)
+    depth = jnp.asarray([3.0, 1.0, 2.0, 1.0 + 1e-7])
+    a = jax.tree.map(np.asarray, bin_splats(mean2d, ext, g16, depth=depth))
+    b = jax.tree.map(np.asarray, bin_splats(mean2d, ext, g32, depth=depth))
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)

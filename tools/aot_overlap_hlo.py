@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--sh-chunks", type=int, default=1)
+    ap.add_argument("--allreduce", default="psum", choices=("psum", "ring"),
+                    help="ring = the manual ppermute ring all-reduce "
+                         "(parallel/mesh.ring_all_reduce); the report then "
+                         "counts compute scheduled between the ring's "
+                         "collective-permute steps")
     ap.add_argument("--topology", default="v5e:2x4")
     ap.add_argument("--dump", default="")
     args = ap.parse_args()
@@ -55,7 +60,8 @@ def main():
 
     def step(scene, cams, targets):
         return M._sharded_value_and_grad(
-            scene, cams, targets, config, mesh, sh_psum_chunks=args.sh_chunks)
+            scene, cams, targets, config, mesh, sh_psum_chunks=args.sh_chunks,
+            grad_allreduce=args.allreduce)
 
     scene = make_bench_scene("garden", args.splats)
     cam1 = garden_cameras(1, width=args.width, height_px=args.height)
@@ -73,26 +79,44 @@ def main():
             f.write(txt)
 
     lines = txt.splitlines()
-    starts = [i for i, l in enumerate(lines) if "all-reduce-start" in l
-              and "=" in l and "done" not in l]
-    print(f"async all-reduce pairs in compiled HLO: {len(starts)}")
-    # count real compute ops scheduled between each start and its done
     op_re = re.compile(r"= \S+ (fusion|sort|dot|custom-call|convolution)")
-    for i in starts:
-        m = re.search(r"%?(all-reduce-start[.\w]*)", lines[i])
-        name = m.group(1) if m else "?"
-        done_idx = next(
-            (j for j in range(i + 1, len(lines))
-             if "all-reduce-done" in lines[j] and name in lines[j]),
-            None)
-        if done_idx is None:
-            continue
-        between = sum(1 for l in lines[i + 1:done_idx] if op_re.search(l))
-        # bytes of the all-reduce operand
-        mb = re.search(r"f32\[([\d,]+)\]", lines[i])
-        size = np.prod([int(x) for x in mb.group(1).split(",")]) * 4 if mb else 0
-        print(f"  {name}: {between} compute ops scheduled between start/done "
-              f"({size / 1e6:.1f} MB operand)")
+
+    def report_pairs(kind):
+        starts = [i for i, l in enumerate(lines) if f"{kind}-start" in l
+                  and "=" in l and "done" not in l]
+        print(f"async {kind} pairs in compiled HLO: {len(starts)}")
+        total_between = 0
+        for i in starts:
+            m = re.search(rf"%?({kind}-start[.\w]*)", lines[i])
+            name = m.group(1) if m else "?"
+            done_idx = next(
+                (j for j in range(i + 1, len(lines))
+                 if f"{kind}-done" in lines[j] and name in lines[j]),
+                None)
+            if done_idx is None:
+                continue
+            between = sum(1 for l in lines[i + 1:done_idx] if op_re.search(l))
+            total_between += between
+            # bytes of the collective operand
+            mb = re.search(r"f32\[([\d,]+)\]", lines[i])
+            size = np.prod([int(x) for x in mb.group(1).split(",")]) * 4 if mb else 0
+            print(f"  {name}: {between} compute ops scheduled between "
+                  f"start/done ({size / 1e6:.1f} MB operand)")
+        return len(starts), total_between
+
+    n_ar, _ = report_pairs("all-reduce")
+    n_cp, cp_between = report_pairs("collective-permute")
+    if args.allreduce == "ring":
+        # Additionally: compute interleaved anywhere WITHIN the ring chain
+        # (between one permute's done and the next one's start) also hides
+        # ring latency — the ring's win doesn't need async pairs at all
+        cp_lines = [i for i, l in enumerate(lines) if "collective-permute" in l
+                    and "=" in l]
+        if len(cp_lines) >= 2:
+            inner = sum(1 for l in lines[cp_lines[0]:cp_lines[-1]]
+                        if op_re.search(l))
+            print(f"ring chain: {len(cp_lines)} collective-permute ops; "
+                  f"{inner} compute ops scheduled inside the chain span")
 
 
 if __name__ == "__main__":

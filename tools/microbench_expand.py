@@ -77,22 +77,26 @@ def main():
             tot = tot + jnp.sum(v.astype(jnp.float32))
         return tot * 1e-30
 
-    for impl in ("onehot", "packed"):
-        ok = B._expand_impl_ok(
-            impl, grid.emax, n, grid.num_tiles,
-            max(int(grid.num_tiles).bit_length(), 1),
-            max(int(grid.tiles_x).bit_length(), 1),
-            max(grid.emax.bit_length(), max(n, 1).bit_length(), 1))
-        if not ok:
-            print(f"{impl:28s} infeasible at this size")
-            continue
-        B._EXPAND_IMPL = impl
-        timed(f"bin_splats[{impl}]", run_binning, mean2d, extent, depth)
-    B._EXPAND_IMPL = "auto"
-    old_c = B._EXPAND_C
-    B._EXPAND_C = grid.emax + 1  # force non-kernel path
-    timed("bin_splats[fallback]", run_binning, mean2d, extent, depth)
-    B._EXPAND_C = old_c
+    # try/finally: an exception mid-bench must not leave binning forced to a
+    # non-default impl/chunk size for any later in-process use
+    old_impl, old_c = B._EXPAND_IMPL, B._EXPAND_C
+    try:
+        for impl in ("onehot", "packed"):
+            ok = B._expand_impl_ok(
+                impl, grid.emax, n, grid.num_tiles,
+                max(int(grid.num_tiles).bit_length(), 1),
+                max(int(grid.tiles_x).bit_length(), 1),
+                max(grid.emax.bit_length(), max(n, 1).bit_length(), 1))
+            if not ok:
+                print(f"{impl:28s} infeasible at this size")
+                continue
+            B._EXPAND_IMPL = impl
+            timed(f"bin_splats[{impl}]", run_binning, mean2d, extent, depth)
+        B._EXPAND_IMPL = old_impl
+        B._EXPAND_C = grid.emax + 1  # force non-kernel path
+        timed("bin_splats[fallback]", run_binning, mean2d, extent, depth)
+    finally:
+        B._EXPAND_IMPL, B._EXPAND_C = old_impl, old_c
 
 
 if __name__ == "__main__":
