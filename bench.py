@@ -154,9 +154,9 @@ def main():
         "--scene", default="both", choices=("garden", "ball", "both"),
         help="garden = BASELINE config 3's trained-capture stand-in "
              "(io/synth.py); ball = round-1's uniform random ball; both "
-             "(default) = one tagged JSON line per scene (ball 1M first for "
-             "round-over-round series continuity, garden LAST = the headline "
-             "line drivers that read a single line pick up)",
+             "(default) = measure both and print ONE JSON line: the garden "
+             "headline carrying the ball-1M series record as a nested field "
+             "(round-over-round artifact continuity)",
     )
     parser.add_argument("--splats", type=int, default=1_500_000,
                         help="config 3 names ~1.5M splats")

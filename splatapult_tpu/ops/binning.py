@@ -144,6 +144,8 @@ _EXPAND_CTAB = 128  # table-block granularity of the candidate window
 # C-1 rows start inside a C-slot span, plus the row covering the chunk start),
 # plus up to CTAB-1 rows of block-alignment slop before it.
 _EXPAND_WBLK = _EXPAND_C // _EXPAND_CTAB + 1  # window = WBLK * CTAB rows
+# "onehot2" sub-chunking: each SUBC-slot subchunk gets its own 2-block window
+_EXPAND_SUBC = 128
 # expand-kernel implementation preference: "onehot" = one masked-max window
 # reduction finds the covering row, then a one-hot MXU matmul selects all
 # fields at once (no packing budget: works to 2^24 instances/splats);
@@ -170,7 +172,7 @@ def _expand_impl_ok(impl: str, emax: int, n: int, num_tiles: int,
     integers < 2^24 under Precision.HIGHEST — see _expand_fill_pallas);
     "packed" needs every (window_index << bits | field) word to fit int31.
     """
-    if impl == "onehot":
+    if impl in ("onehot", "onehotb", "onehot2"):
         return emax < 2**24 and n < 2**24 and (num_tiles << fbn) < 2**24
     ib = (_EXPAND_WBLK * _EXPAND_CTAB - 1).bit_length()
     return ib + ob <= 31 and ib + fbt + fbn <= 31 and ib + 16 <= 31
@@ -211,26 +213,51 @@ def _expand_fill_pallas(offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk,
         table_refs = refs[wblk : 2 * wblk]
         out_ref = refs[-1]
         j = pl.program_id(0)
-        offs_col = jnp.concatenate([r[:, :] for r in offs_refs], axis=0)  # [W*CTAB, 1]
-        cand_t = jnp.concatenate([r[:, :] for r in table_refs], axis=1)  # [5, W*CTAB] f32
         m = j * C + lax.broadcasted_iota(jnp.int32, (1, C), 1)  # [1, C] slots
-        q = offs_col <= m  # [W*CTAB, C]
-        i_loc = lax.broadcasted_iota(jnp.int32, (wblk * ctab, 1), 0)
 
-        # covering row = last window row whose segment starts at or before m
-        win = jnp.max(jnp.where(q, i_loc, -1), axis=0, keepdims=True)  # [1, C]
-        onehot = (i_loc == win).astype(jnp.float32)  # [W*CTAB, C]
-        # Exactly one nonzero per output column -> the f32 accumulation is
-        # exact; Precision.HIGHEST is REQUIRED for the multiply itself: the
-        # MXU's default f32 path truncates operands to bf16 (8-bit mantissa),
-        # which silently corrupts any transported integer > 256. HIGHEST runs
-        # the exact 3-way bf16 split (hi+mid+lo covers all 24 mantissa bits;
-        # each piece times 1.0 is exact; the non-overlapping pieces re-sum
-        # exactly in f32), so fields < 2^24 round-trip bit-exactly.
-        fields = jnp.dot(
-            cand_t, onehot, preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
-        ).astype(jnp.int32)  # [5, C]
+        if impl == "onehotb":
+            # blockwise variant: identical math, but the [W, C] coverage mask
+            # and one-hot never materialize — a [CTAB, C] working set per
+            # window block with a running max, then CTAB-row matmuls
+            # accumulated (each output column still has exactly ONE nonzero
+            # across all blocks, so the f32 accumulation stays exact)
+            win = jnp.full((1, C), -1, jnp.int32)
+            for k in range(wblk):
+                i_k = k * ctab + lax.broadcasted_iota(jnp.int32, (ctab, 1), 0)
+                q_k = offs_refs[k][:, :] <= m  # [CTAB, C]
+                win = jnp.maximum(
+                    win, jnp.max(jnp.where(q_k, i_k, -1), axis=0, keepdims=True)
+                )
+            acc = jnp.zeros((5, C), jnp.float32)
+            for k in range(wblk):
+                i_k = k * ctab + lax.broadcasted_iota(jnp.int32, (ctab, 1), 0)
+                onehot_k = (i_k == win).astype(jnp.float32)  # [CTAB, C]
+                acc = acc + jnp.dot(
+                    table_refs[k][:, :], onehot_k,
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )
+            fields = acc.astype(jnp.int32)  # [5, C]
+        else:
+            offs_col = jnp.concatenate([r[:, :] for r in offs_refs], axis=0)  # [W*CTAB, 1]
+            cand_t = jnp.concatenate([r[:, :] for r in table_refs], axis=1)  # [5, W*CTAB] f32
+            q = offs_col <= m  # [W*CTAB, C]
+            i_loc = lax.broadcasted_iota(jnp.int32, (wblk * ctab, 1), 0)
+
+            # covering row = last window row whose segment starts at or before m
+            win = jnp.max(jnp.where(q, i_loc, -1), axis=0, keepdims=True)  # [1, C]
+            onehot = (i_loc == win).astype(jnp.float32)  # [W*CTAB, C]
+            # Exactly one nonzero per output column -> the f32 accumulation is
+            # exact; Precision.HIGHEST is REQUIRED for the multiply itself: the
+            # MXU's default f32 path truncates operands to bf16 (8-bit mantissa),
+            # which silently corrupts any transported integer > 256. HIGHEST runs
+            # the exact 3-way bf16 split (hi+mid+lo covers all 24 mantissa bits;
+            # each piece times 1.0 is exact; the non-overlapping pieces re-sum
+            # exactly in f32), so fields < 2^24 round-trip bit-exactly.
+            fields = jnp.dot(
+                cand_t, onehot, preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            ).astype(jnp.int32)  # [5, C]
 
         offs_m = fields[0:1, :]
         tnx_m = fields[1:2, :]
@@ -246,6 +273,53 @@ def _expand_fill_pallas(offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk,
             jnp.concatenate([tile_m, sid_m, dbits_m], axis=0),
             0,
         )
+
+    nsub = C // _EXPAND_SUBC
+    wsub = _EXPAND_SUBC // ctab + 1  # window blocks per subchunk
+
+    def onehot2_kernel(lo_ref, *refs):
+        # sub-chunked onehot: each SUBC-slot subchunk gets its own (wsub *
+        # CTAB)-row window (winners for SUBC slots span <= SUBC + 1 rows plus
+        # < CTAB alignment slop = exactly wsub blocks at SUBC == CTAB), so
+        # the per-slot compare work drops from WBLK*CTAB to wsub*CTAB rows
+        # (640 -> 256 at the default geometry) at the same grid size.
+        offs_refs = refs[: nsub * wsub]
+        table_refs = refs[nsub * wsub : 2 * nsub * wsub]
+        out_ref = refs[-1]
+        j = pl.program_id(0)
+        outs = []
+        for i in range(nsub):
+            offs_col = jnp.concatenate(
+                [offs_refs[i * wsub + k][:, :] for k in range(wsub)], axis=0
+            )  # [wsub*CTAB, 1]
+            cand_t = jnp.concatenate(
+                [table_refs[i * wsub + k][:, :] for k in range(wsub)], axis=1
+            )  # [5, wsub*CTAB] f32
+            m = (j * C + i * _EXPAND_SUBC
+                 + lax.broadcasted_iota(jnp.int32, (1, _EXPAND_SUBC), 1))
+            q = offs_col <= m  # [wsub*CTAB, SUBC]
+            i_loc = lax.broadcasted_iota(jnp.int32, (wsub * ctab, 1), 0)
+            win = jnp.max(jnp.where(q, i_loc, -1), axis=0, keepdims=True)
+            onehot = (i_loc == win).astype(jnp.float32)
+            # exactness argument as in onehot_kernel (HIGHEST is required)
+            fields = jnp.dot(
+                cand_t, onehot, preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            ).astype(jnp.int32)  # [5, SUBC]
+            offs_m = fields[0:1, :]
+            tnx_m = fields[1:2, :]
+            tile0_m = tnx_m >> fbn
+            nx_m = jnp.maximum(tnx_m & ((1 << fbn) - 1), 1)
+            dbits_m = (fields[2:3, :] << 16) | fields[3:4, :]
+            sid_m = fields[4:5, :]
+            jr = m - offs_m
+            tile_m = tile0_m + (jr // nx_m) * tx_n + jr % nx_m
+            outs.append(jnp.where(
+                win >= 0,
+                jnp.concatenate([tile_m, sid_m, dbits_m], axis=0),
+                0,
+            ))
+        out_ref[:, :] = jnp.concatenate(outs, axis=1)
 
     def packed_kernel(lo_ref, *refs):
         table_refs, out_ref = refs[:-1], refs[-1]
@@ -275,7 +349,24 @@ def _expand_fill_pallas(offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk,
         tile_m = tile0_m + (jr // nx_m) * tx_n + jr % nx_m
         out_ref[:, :] = jnp.concatenate([tile_m, sid_m, dbits_m], axis=0)
 
-    if impl == "onehot":
+    if impl == "onehot2":
+        kernel = onehot2_kernel
+        # lo_blk here has one entry PER SUBCHUNK (nsub * j + i)
+        in_specs = [
+            pl.BlockSpec((ctab, 1), functools.partial(
+                lambda i, k, j, lo: (lo[nsub * j + i] + k, 0), i, k))
+            for i in range(nsub) for k in range(wsub)
+        ] + [
+            pl.BlockSpec((5, ctab), functools.partial(
+                lambda i, k, j, lo: (0, lo[nsub * j + i] + k), i, k))
+            for i in range(nsub) for k in range(wsub)
+        ]
+        table_t = jnp.stack(
+            [offs_c, tnx_c, dhi_c, dlo_c, sid_c], axis=0
+        ).astype(jnp.float32)
+        operands = ([offs_c[:, None]] * (nsub * wsub)
+                    + [table_t] * (nsub * wsub))
+    elif impl in ("onehot", "onehotb"):
         kernel = onehot_kernel
         in_specs = [
             pl.BlockSpec((ctab, 1), functools.partial(
@@ -504,12 +595,14 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
         dhi_c = dbits_c >> 16
         dlo_c = dbits_c & 0xFFFF
         sid_c = jnp.concatenate([sid_c, zpad])
-        chunk_starts = jnp.arange(emax // C, dtype=jnp.int32) * C
+        step = _EXPAND_SUBC if impl == "onehot2" else C
+        wneed = (_EXPAND_SUBC // ctab + 1) if impl == "onehot2" else wblk
+        chunk_starts = jnp.arange(emax // step, dtype=jnp.int32) * step
         lo = jnp.clip(
             jnp.searchsorted(offs_c, chunk_starts, side="right").astype(jnp.int32) - 1,
             0, n_pad - 1,
         )
-        lo_blk = jnp.clip(lo // ctab, 0, n_pad // ctab - wblk)
+        lo_blk = jnp.clip(lo // ctab, 0, n_pad // ctab - wneed)
         out3 = _expand_fill_pallas(
             offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk, grid, fbt, fbn, ob,
             impl=impl,

@@ -56,8 +56,18 @@ def _save_goldens():
 
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name, img in _render_cases().items():
-        np.save(os.path.join(GOLDEN_DIR, name + ".npy"), img.astype(np.float16))
+        path = os.path.join(GOLDEN_DIR, name + ".npy")
+        # skip cases whose stored golden still matches within the test
+        # tolerance: regenerating for ONE new case must not churn every
+        # committed golden with sub-tolerance float noise (misleading diffs)
+        if os.path.exists(path):
+            want = np.load(path).astype(np.float32)
+            if want.shape == img.shape and np.allclose(img, want, atol=3e-3):
+                print(f"  {name}: unchanged within tolerance, kept")
+                continue
+        np.save(path, img.astype(np.float16))
         save_png(os.path.join(GOLDEN_DIR, name + ".png"), img)  # human-checkable
+        print(f"  {name}: rewritten")
     print(f"wrote goldens to {GOLDEN_DIR}")
 
 

@@ -129,7 +129,7 @@ def test_binning_overflow_reported():
     assert int(bins3["num_culled_instances"]) > 0
 
 
-@pytest.mark.parametrize("impl", ["onehot", "packed"])
+@pytest.mark.parametrize("impl", ["onehot", "onehotb", "onehot2", "packed"])
 def test_binning_expand_kernel_matches_fallback(monkeypatch, rng, impl):
     # BOTH Pallas expand-kernel impls (one-hot MXU matmul selection and
     # packed masked-max selection) must produce bit-identical bins to the
@@ -463,7 +463,7 @@ def test_instance_demand_matches_binning(rng):
     assert demand == int(jnp.sum(bins2["tile_count"]))
 
 
-@pytest.mark.parametrize("impl", ["onehot", "packed"])
+@pytest.mark.parametrize("impl", ["onehot", "onehotb", "onehot2", "packed"])
 def test_binning_expand_window_adversarial(monkeypatch, rng, impl):
     """Stress the expand kernel's tightened candidate window (WBLK*CTAB rows).
 

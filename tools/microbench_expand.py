@@ -79,9 +79,9 @@ def main():
 
     # try/finally: an exception mid-bench must not leave binning forced to a
     # non-default impl/chunk size for any later in-process use
-    old_impl, old_c = B._EXPAND_IMPL, B._EXPAND_C
+    old_impl, old_c, old_wblk = B._EXPAND_IMPL, B._EXPAND_C, B._EXPAND_WBLK
     try:
-        for impl in ("onehot", "packed"):
+        for impl in ("onehot", "onehotb", "onehot2", "packed"):
             ok = B._expand_impl_ok(
                 impl, grid.emax, n, grid.num_tiles,
                 max(int(grid.num_tiles).bit_length(), 1),
@@ -92,11 +92,24 @@ def main():
                 continue
             B._EXPAND_IMPL = impl
             timed(f"bin_splats[{impl}]", run_binning, mean2d, extent, depth)
+        # chunk-size sweep: halving/doubling the grid-step count probes
+        # whether the expand cost is per-step/DMA-overhead-bound
+        for c_try in (256, 1024):
+            if grid.emax % c_try:
+                print(f"onehot C={c_try}: emax not divisible, skipped")
+                continue
+            B._EXPAND_IMPL = "onehot"
+            B._EXPAND_C = c_try
+            B._EXPAND_WBLK = c_try // B._EXPAND_CTAB + 1
+            timed(f"bin_splats[onehot C={c_try}]", run_binning,
+                  mean2d, extent, depth)
+        B._EXPAND_WBLK = old_wblk
         B._EXPAND_IMPL = old_impl
         B._EXPAND_C = grid.emax + 1  # force non-kernel path
         timed("bin_splats[fallback]", run_binning, mean2d, extent, depth)
     finally:
         B._EXPAND_IMPL, B._EXPAND_C = old_impl, old_c
+        B._EXPAND_WBLK = old_wblk
 
 
 if __name__ == "__main__":

@@ -29,6 +29,10 @@ def main():
     parser.add_argument("--tile-size", type=int, default=32)
     parser.add_argument("--tile-block", type=int, default=128)
     parser.add_argument("--early-stop", type=float, default=1e-4)
+    parser.add_argument("--fwd-only", action="store_true",
+                        help="profile the viewer configuration (no m_pos "
+                             "payload; implies --depth-bits 16 unless set)")
+    parser.add_argument("--depth-bits", type=int, default=0, choices=(0, 16, 32))
     parser.add_argument(
         "--phases", type=str,
         default="prepare,bin,fwd,fwd_bwd",
@@ -69,6 +73,8 @@ def main():
         tile_size=args.tile_size, tile_block=args.tile_block,
         max_instance_mult=args.instance_mult, early_stop_eps=args.early_stop,
         grad_sort_dtype="bfloat16", packed_colors=True,
+        forward_only=args.fwd_only,
+        depth_bits=args.depth_bits or (16 if args.fwd_only else 32),
     )
     if args.instance_mult <= 0.0:
         from splatapult_tpu.render import calibrate_config
@@ -82,6 +88,7 @@ def main():
         early_stop_eps=args.early_stop,
         grad_sort_dtype=config.grad_sort_dtype,
         packed_colors=config.packed_colors,
+        forward_only=config.forward_only, depth_bits=config.depth_bits,
     )
 
     def perturb(s, eps):
@@ -107,7 +114,8 @@ def main():
 
     def ph_bin(s, eps):
         _, bins = _bins(s, eps)
-        return (bins["inst_splat"][0] + bins["m_pos"][0]).astype(jnp.float32) * 1e-30
+        mp = bins["m_pos"][0] if "m_pos" in bins else 0
+        return (bins["inst_splat"][0] + mp).astype(jnp.float32) * 1e-30
 
     def ph_gather(s, eps):
         d, bins = _bins(s, eps)
