@@ -297,10 +297,12 @@ def _make_cameras(args, kind):
 def _make_config(args):
     from splatapult_tpu.render import RenderConfig
 
-    # --fwd-only defaults to the viewer production profile: 16-bit packed
-    # depth keys (the reference's own sort quantizes depth far more coarsely,
-    # shader/presort_compute.glsl:52-53); fwd+bwd defaults to exact f32 depth
-    depth_bits = args.depth_bits or (16 if args.fwd_only else 32)
+    # production profile: 16-bit packed depth keys (one sort operand + one
+    # comparison key fewer; the reference's own radix sort quantizes depth
+    # far more coarsely, shader/presort_compute.glsl:52-53). Exact f32 depth
+    # ordering is one flag away (--depth-bits 32), like the other precision
+    # knobs. Measured: garden fwd+bwd 161.0 -> 157.6 ms (PERF.md round 3).
+    depth_bits = args.depth_bits or 16
     return RenderConfig(
         width=args.width, height=args.height, pipeline="tiled",
         tile_size=args.tile_size, tile_block=args.tile_block,

@@ -114,6 +114,23 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# feature tables past this size pay the slow-gather regime on v5e (~15 ns/idx
+# vs ~3.5-5 below it — the fast regime appears to be VMEM/working-set
+# residency; tools/probe_gather_real.py). Two half-width gathers beat one
+# full-width gather 148.8 -> 113.9 ms at the 5M ball (PERF.md round 3).
+_GATHER_SPLIT_BYTES = 120_000_000
+
+
+def _gather_rows(src, idx):
+    """Instance-feature row gather; column-split above _GATHER_SPLIT_BYTES."""
+    if src.size * src.dtype.itemsize > _GATHER_SPLIT_BYTES and src.shape[1] >= 2:
+        h = src.shape[1] // 2
+        return jnp.concatenate(
+            [jnp.take(src[:, :h], idx, axis=0),
+             jnp.take(src[:, h:], idx, axis=0)], axis=1)
+    return jnp.take(src, idx, axis=0)
+
+
 def _acc_dtype(grid: TileGrid):
     """Accumulation dtype of the per-tile output rows (--fp16/--fp32 analog,
     ref: src/app.cpp:1000-1035). Per-block math is always f32; only the
@@ -447,7 +464,7 @@ def composite_from_feats(feats, bins, grid: TileGrid):
     (straight-through past the color rounding).
     """
     src = _pack_color_feats(feats) if grid.packed_colors else feats
-    inst = jnp.take(src, bins["inst_splat"], axis=0)
+    inst = _gather_rows(src, bins["inst_splat"])
     return _fwd_call(inst, bins["block_meta"], grid)
 
 
@@ -460,7 +477,7 @@ def _cff_fwd(feats, bins, grid):
             "to train."
         )
     src = _pack_color_feats(feats) if grid.packed_colors else feats
-    inst = jnp.take(src, bins["inst_splat"], axis=0)
+    inst = _gather_rows(src, bins["inst_splat"])
     out = _fwd_call(inst, bins["block_meta"], grid)
     # inst is saved as a residual: regathering it in the backward costs ~28 ms
     # at 4M instances (row gathers are ~6.5 ns per index on v5e) vs. one

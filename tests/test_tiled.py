@@ -615,3 +615,51 @@ def test_depth16_infeasible_tile_count_falls_back_exact():
     b = jax.tree.map(np.asarray, bin_splats(mean2d, ext, g32, depth=depth))
     for k in a:
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_binning_all_kept_identity_fast_path(monkeypatch, rng):
+    """With nothing culled the compaction cond takes its identity branch;
+    results must equal the scatter+cummax fallback bit-exactly."""
+    import splatapult_tpu.ops.binning as B
+
+    grid = TileGrid.create(width=256, height=256, num_splats=4096,
+                           tile_size=16, block=8, max_instance_mult=4)
+    assert grid.emax % B._EXPAND_C == 0
+    mean2d = jnp.asarray(rng.uniform(20, 230, (4096, 2)), jnp.float32)
+    ext = jnp.asarray(rng.uniform(0.5, 8.0, (4096, 2)), jnp.float32)  # all kept
+    depth = jnp.asarray(rng.uniform(0.1, 50.0, (4096,)), jnp.float32)
+    a = jax.tree.map(np.asarray, bin_splats(mean2d, ext, grid, depth=depth))
+    assert a["tile_count"].sum() > 0
+    with monkeypatch.context() as m:
+        m.setattr(B, "_EXPAND_C", grid.emax + 1)  # force fallback path
+        b = jax.tree.map(np.asarray, bin_splats(mean2d, ext, grid, depth=depth))
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_split_gather_bit_exact(monkeypatch, rng):
+    """The column-split big-table gather must be bit-identical to the single
+    take (it is exactly the same rows, fetched in two halves)."""
+    import splatapult_tpu.ops.composite as C
+
+    scene = _random_scene(rng)
+    cam = _camera()
+    cfg = dataclasses.replace(TILED, packed_colors=True)
+    a = np.asarray(render(scene, cam, cfg))
+    with monkeypatch.context() as m:
+        m.setattr(C, "_GATHER_SPLIT_BYTES", 64)  # force the split path
+        b = np.asarray(render(scene, cam, cfg))
+    np.testing.assert_array_equal(a, b)
+
+    # grads flow identically through the split path (it sits inside the
+    # custom-vjp forward)
+    def loss(s, cfg):
+        return jnp.sum(render(s, cam, cfg) ** 2)
+
+    ga = jax.grad(loss)(scene, cfg)
+    with monkeypatch.context() as m:
+        m.setattr(C, "_GATHER_SPLIT_BYTES", 64)
+        gb = jax.grad(loss)(scene, cfg)
+    for name in ("means", "sh", "opacities", "log_scales", "quats"):
+        np.testing.assert_array_equal(np.asarray(getattr(ga, name)),
+                                      np.asarray(getattr(gb, name)), err_msg=name)

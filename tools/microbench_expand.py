@@ -80,6 +80,7 @@ def main():
     # try/finally: an exception mid-bench must not leave binning forced to a
     # non-default impl/chunk size for any later in-process use
     old_impl, old_c, old_wblk = B._EXPAND_IMPL, B._EXPAND_C, B._EXPAND_WBLK
+    old_ctab = B._EXPAND_CTAB
     try:
         for impl in ("onehot", "onehotb", "onehot2", "packed"):
             ok = B._expand_impl_ok(
@@ -103,13 +104,22 @@ def main():
             B._EXPAND_WBLK = c_try // B._EXPAND_CTAB + 1
             timed(f"bin_splats[onehot C={c_try}]", run_binning,
                   mean2d, extent, depth)
+        # CTAB=256: window widens 640 -> 768 rows (+20% compare work) but the
+        # per-step block mappings drop 10 -> 6 — probes whether the expand is
+        # bound by per-mapping DMA overhead
+        B._EXPAND_IMPL = "onehot"
+        B._EXPAND_C = old_c
+        B._EXPAND_CTAB = 256
+        B._EXPAND_WBLK = old_c // 256 + 1
+        timed("bin_splats[onehot CTAB=256]", run_binning, mean2d, extent, depth)
+        B._EXPAND_CTAB = old_ctab
         B._EXPAND_WBLK = old_wblk
         B._EXPAND_IMPL = old_impl
         B._EXPAND_C = grid.emax + 1  # force non-kernel path
         timed("bin_splats[fallback]", run_binning, mean2d, extent, depth)
     finally:
         B._EXPAND_IMPL, B._EXPAND_C = old_impl, old_c
-        B._EXPAND_WBLK = old_wblk
+        B._EXPAND_WBLK, B._EXPAND_CTAB = old_wblk, old_ctab
 
 
 if __name__ == "__main__":

@@ -9,7 +9,10 @@ distribution incl. nulls/pads). Settles the 5M sort-transport question
 Usage: python tools/probe_gather_real.py [n_splats]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
@@ -65,11 +68,47 @@ def main():
         return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
 
     r = jax.jit(k_steps)
-    float(r(table, idx, jnp.int32(1)))
-    t1 = min(_t(lambda: float(r(table, idx, jnp.int32(1)))) for _ in range(3))
-    tk = min(_t(lambda: float(r(table, idx, jnp.int32(k)))) for _ in range(3))
+
+    def run(name, ix):
+        float(r(table, ix, jnp.int32(1)))
+        t1 = min(_t(lambda: float(r(table, ix, jnp.int32(1)))) for _ in range(3))
+        tk = min(_t(lambda: float(r(table, ix, jnp.int32(k)))) for _ in range(3))
+        dt = (tk - t1) / (k - 1) if tk > t1 else tk / k
+        print(f"{name:36s} {dt * 1e3:8.2f} ms  ({dt / m * 1e9:5.2f} ns/idx)",
+              flush=True)
+
+    rng = np.random.default_rng(0)
+    run("production idx (tile,depth-sorted)", idx)
+    # same count, same table: which part of the production cost is the
+    # PATTERN vs the table size?
+    run("uniform random idx",
+        jnp.asarray(rng.integers(0, n, m, dtype=np.int32)))
+    run("production idx, ascending-sorted", jnp.sort(idx))
+    run("random idx confined to n/8 window",
+        jnp.asarray(rng.integers(0, max(n // 8, 1), m, dtype=np.int32)))
+
+    # column-split: two [N, 4] tables of half the bytes each — if the ~3x
+    # small-table speedup is VMEM residency (the 1M/32MB production gather
+    # runs 3.5 ns/idx; >= 170 MB pays ~15), two sequential half-width
+    # gathers may each enjoy it
+    ta, tb = table[:, :4], table[:, 4:]
+
+    def k_steps2(a, b, ix, kk):
+        def body(_, carry):
+            ga = jnp.take(a + carry.astype(a.dtype), ix, axis=0)
+            gb = jnp.take(b + carry.astype(b.dtype), ix, axis=0)
+            return (jnp.sum(ga.astype(jnp.float32))
+                    + jnp.sum(gb.astype(jnp.float32))) * 1e-30
+
+        return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+
+    r2 = jax.jit(k_steps2)
+    float(r2(ta, tb, idx, jnp.int32(1)))
+    t1 = min(_t(lambda: float(r2(ta, tb, idx, jnp.int32(1)))) for _ in range(3))
+    tk = min(_t(lambda: float(r2(ta, tb, idx, jnp.int32(k)))) for _ in range(3))
     dt = (tk - t1) / (k - 1) if tk > t1 else tk / k
-    print(f"production gather: {dt * 1e3:8.2f} ms  ({dt / m * 1e9:5.2f} ns/idx)")
+    print(f"{'column-split 2 x [N,4] gathers':36s} {dt * 1e3:8.2f} ms  "
+          f"({dt / m * 1e9:5.2f} ns/idx combined)")
 
 
 if __name__ == "__main__":

@@ -29,10 +29,40 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 HBM_GBS = 819e9  # v5e HBM bandwidth
 VPU_OPS = 3.85e12  # f32 lane-ops/s
 MXU_BF16 = 197e12  # FLOP/s (default matmul precision = one bf16 pass)
-SORT_NS_ROW_OP = 0.6  # measured v5e lax.sort streaming cost per row per operand
-GATHER_NS_32B = 3.34  # measured 32 B-row gather (tools/microbench_gather.py)
 GRID_STEP_US_FWD = 0.41  # measured Pallas per-grid-step overhead (PERF.md)
 GRID_STEP_US_BWD = 0.67
+
+# measured v5e lax.sort cost per row per operand vs ROW COUNT (4-operand
+# 3-key sorts, tools/probe_scale5m.py round 3): the multi-pass structure
+# deepens with rows, so a flat rate mismodels 5M-scale sorts by ~60%
+_SORT_CURVE = [(1.33e6, 0.589e-9), (2.66e6, 0.671e-9),
+               (5.32e6, 0.795e-9), (10.64e6, 0.977e-9)]
+
+
+def sort_ns_row_op(rows: float) -> float:
+    import math
+
+    pts = _SORT_CURVE
+    if rows <= pts[0][0]:
+        return pts[0][1]
+    if rows >= pts[-1][0]:
+        return pts[-1][1]
+    for (r0, c0), (r1, c1) in zip(pts, pts[1:]):
+        if r0 <= rows <= r1:
+            t = (math.log(rows) - math.log(r0)) / (math.log(r1) - math.log(r0))
+            return c0 + t * (c1 - c0)
+    return pts[-1][1]
+
+
+def gather_ns_idx(table_rows: float) -> float:
+    """Measured 32 B-row gather cost per index vs table size
+    (tools/probe_scale5m.py: flat ~4.7 ns to 2.66M rows, 7.0 at 5.32M;
+    small tables ~3.4 ns, tools/microbench_gather.py)."""
+    if table_rows <= 1.4e6:
+        return 3.4e-9
+    if table_rows <= 2.7e6:
+        return 4.7e-9
+    return 7.0e-9
 
 
 def main():
@@ -84,16 +114,20 @@ def main():
     rows = []
 
     # --- binning: compaction sort (N rows x 5 ops) + expand kernel (emax
-    # slots, ~1 window reduction + tiny matmul) + bincount sort (emax x 1) +
-    # main sort (mcap x 4 ops) — all stream-bound at the measured sort rate
-    t_sort = (n * 5 + emax * 1 + mcap * 4) * SORT_NS_ROW_OP * 1e-9
-    t_expand = emax * (5 * 128) / VPU_OPS * 4  # masked-max window reductions
+    # slots; its measured cost resists every structural rewrite tried —
+    # onehotb/onehot2/CTAB/C sweeps, PERF.md round 3 — so it is modeled at
+    # its measured ~4.5 ns/slot) + bincount sort (emax x 1) + main sort
+    # (mcap x 3 ops with the packed depth16 key; 4 ops exact)
+    main_ops = 3  # production depth_bits=16
+    t_sort = (n * 5 * sort_ns_row_op(n) + emax * sort_ns_row_op(emax)
+              + mcap * main_ops * sort_ns_row_op(mcap))
+    t_expand = emax * 4.5e-9  # measured (microbench_expand minus sorts)
     rows.append(("binning (sorts+expand)", t_sort + t_expand))
 
     # --- feature gather: mcap random 32 B rows (measured per-index cost; the
     # HBM-bytes floor would be mcap*64 B / BW = far smaller — random access
     # is latency-bound, not bandwidth-bound, on v5e)
-    rows.append(("instance gather", mcap * GATHER_NS_32B * 1e-9))
+    rows.append(("instance gather", mcap * gather_ns_idx(n)))
 
     # --- fwd kernel: VPU pair math (~25 lane-ops: dx,dy,q=5 mul/add, exp~8,
     # cutoff select, eff/carry ~6) + tri-scan matmul (B flops/pair, bf16)
@@ -112,9 +146,9 @@ def main():
 
     # --- backward tail: m_pos sort (mcap x 6 ops bf16-packed) + blocked
     # cumsum (emax x 9 cols, ~3 passes) + segment-end gather (N x 36 B rows)
-    t_tail = (mcap * 6 * SORT_NS_ROW_OP * 1e-9
+    t_tail = (mcap * 6 * sort_ns_row_op(mcap)
               + emax * 9 * 4 * 3 * 2 / HBM_GBS
-              + n * 6.4e-9)
+              + n * max(6.4e-9, gather_ns_idx(emax)))
     rows.append(("backward tail", t_tail))
 
     total = sum(t for _, t in rows)
