@@ -114,15 +114,23 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-# feature tables past this size pay the slow-gather regime on v5e (~15 ns/idx
-# vs ~3.5-5 below it — the fast regime appears to be VMEM/working-set
-# residency; tools/probe_gather_real.py). Two half-width gathers beat one
-# full-width gather 148.8 -> 113.9 ms at the 5M ball (PERF.md round 3).
-_GATHER_SPLIT_BYTES = 120_000_000
+# Column-split gather, DISABLED by default (threshold = never): feature
+# tables past ~120 MB pay the slow-gather regime on v5e (~15 ns/idx vs
+# ~3.5-5 below it — the fast regime appears to be VMEM/working-set
+# residency) and two half-width gathers beat one full-width gather
+# STANDALONE (148.8 -> 113.9 ms at the 5M ball, tools/probe_gather_real.py)
+# — but IN CONTEXT the same split costs +36 ms on the full 5M step
+# (644.1 vs 607.9 ms measured, PERF.md round 3): forcing two 80 MB tables
+# toward residency evidently displaces the Pallas kernels' own working
+# sets. Kept as an opt-in experiment knob; standalone probes lie about
+# VMEM-coupled behavior.
+_GATHER_SPLIT_BYTES = None  # int bytes to enable; None = never split
 
 
 def _gather_rows(src, idx):
     """Instance-feature row gather; column-split above _GATHER_SPLIT_BYTES."""
+    if _GATHER_SPLIT_BYTES is None:
+        return jnp.take(src, idx, axis=0)
     if src.size * src.dtype.itemsize > _GATHER_SPLIT_BYTES and src.shape[1] >= 2:
         h = src.shape[1] // 2
         return jnp.concatenate(
