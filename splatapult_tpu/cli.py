@@ -146,10 +146,12 @@ def cmd_render(args):
         # side; the tile binning is built ONCE and shared across both eyes the
         # way the reference shares its per-frame sort (ref: src/app.cpp:
         # 603-607) — see splatapult_tpu/stereo.py for the exactness argument
-        from splatapult_tpu.stereo import render_stereo
+        from splatapult_tpu.stereo import calibrate_config_stereo, render_stereo
 
         if args.show_cameras:
             log.warning("--show-cameras is not drawn on --stereo renders")
+        # the shared binning needs the UNION demand of both eyes
+        cfg = calibrate_config_stereo(scene, cam, cfg, args.ipd)
         pair = render_stereo(scene, cam, cfg, args.ipd)
         img = np.concatenate([np.asarray(pair[0]), np.asarray(pair[1])], axis=1)
     else:

@@ -129,3 +129,19 @@ def stereo_instance_demand(scene, camera: Camera, config: RenderConfig,
     _, _, union_mean2d, union_extent = stereo_prepare(scene, camera, config, ipd)
     grid = _grid_from_config(config, scene.means.shape[0])
     return instance_demand(union_mean2d, union_extent, grid)
+
+
+def calibrate_config_stereo(scene, camera: Camera, config: RenderConfig,
+                            ipd=0.064, headroom: float = 1.06) -> RenderConfig:
+    """render.calibrate_config for the shared stereo binning: sizes the
+    instance capacity from the measured UNION demand of both eyes (the
+    single-view demand undersizes it — the union ran 2.49 vs 1.72
+    inst/splat at the 1M bench view, tools/probe_stereo.py)."""
+    import dataclasses
+
+    demand = int(jax.jit(
+        stereo_instance_demand, static_argnames=("config",)
+    )(scene, camera, config, ipd))
+    n = max(scene.means.shape[0], 1)
+    mult = max(headroom * demand, 4096) / n
+    return dataclasses.replace(config, max_instance_mult=mult)

@@ -117,3 +117,17 @@ def test_stereo_demand_covers_both_eyes(rng):
         d = prepare_splats(scene, eye_cam, CFG, sort=False)
         eye_demand = int(instance_demand(d["mean2d"], d["extent"], grid))
         assert shared >= eye_demand
+
+
+def test_calibrate_config_stereo_fits_union(rng):
+    from splatapult_tpu.stereo import calibrate_config_stereo, render_stereo
+
+    scene = _random_scene(rng)
+    cam = _camera()
+    cfg = dataclasses.replace(CFG, max_instance_mult=0.01)  # would overflow
+    cal = calibrate_config_stereo(scene, cam, cfg, ipd=0.3)
+    assert cal.max_instance_mult > cfg.max_instance_mult
+    # calibrated capacity renders the pair without overflow: equals per-eye
+    want = _per_eye(scene, cam, cal, 0.3)
+    got = np.asarray(render_stereo(scene, cam, cal, 0.3))
+    np.testing.assert_allclose(got, want, atol=2e-5)
