@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--sh-chunks", type=int, default=1)
+    ap.add_argument("--allreduce", default="psum", choices=("psum", "ring"),
+                    help="ring = the manual ppermute ring (parallel/mesh."
+                         "ring_all_reduce) whose AOT schedule shows async "
+                         "pairs; time both on a real slice")
     ap.add_argument("--platform", default="cpu", choices=("cpu", "default"))
     args = ap.parse_args()
 
@@ -81,7 +85,8 @@ def main():
 
     def step_full(s, c, t):
         loss, grads = M._sharded_value_and_grad(
-            s, c, t, config, mesh, sh_psum_chunks=args.sh_chunks)
+            s, c, t, config, mesh, sh_psum_chunks=args.sh_chunks,
+            grad_allreduce=args.allreduce)
         return chain(grads, loss)
 
     def step_nopsum(s, c, t):
