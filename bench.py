@@ -191,7 +191,8 @@ def main():
     parser.add_argument(
         "--depth-bits", type=int, default=0, choices=(0, 16, 32),
         help="depth precision in the instance sort key (0 = auto: 16-bit "
-             "packed keys for --fwd-only, exact f32 for fwd+bwd)",
+             "packed keys — the production profile for BOTH fwd-only and "
+             "fwd+bwd; pass 32 for exact f32 depth ordering)",
     )
     # The bench's default profile is the production-training configuration:
     # two documented, test-covered precision knobs are ON (the library's

@@ -146,13 +146,27 @@ def cmd_render(args):
         # side; the tile binning is built ONCE and shared across both eyes the
         # way the reference shares its per-frame sort (ref: src/app.cpp:
         # 603-607) — see splatapult_tpu/stereo.py for the exactness argument
-        from splatapult_tpu.stereo import calibrate_config_stereo, render_stereo
-
         if args.show_cameras:
             log.warning("--show-cameras is not drawn on --stereo renders")
-        # the shared binning needs the UNION demand of both eyes
-        cfg = calibrate_config_stereo(scene, cam, cfg, args.ipd)
-        pair = render_stereo(scene, cam, cfg, args.ipd)
+        # render_stereo hardcodes the tiled pipeline and has no supersample
+        # resolve; honor --pipeline global / --supersample by falling back to
+        # the per-eye batch path (2x the binning cost, every flag respected)
+        shared_ok = args.supersample == 1 and (
+            args.pipeline == "tiled"
+            or (args.pipeline == "auto" and scene.num_gaussians >= 4096)
+        )
+        if shared_ok:
+            from splatapult_tpu.stereo import calibrate_config_stereo, render_stereo
+
+            # the shared binning needs the UNION demand of both eyes
+            cfg = calibrate_config_stereo(scene, cam, cfg, args.ipd)
+            pair = render_stereo(scene, cam, cfg, args.ipd)
+        else:
+            log.info("stereo: per-eye render path (shared binning needs the "
+                     "tiled pipeline and supersample 1)")
+            from splatapult_tpu.render import render_batch
+
+            pair = render_batch(scene, cam.stereo_pair(args.ipd), cfg)
         img = np.concatenate([np.asarray(pair[0]), np.asarray(pair[1])], axis=1)
     else:
         img = np.asarray(render(scene, cam, cfg))

@@ -126,7 +126,8 @@ class TileGrid:
     def create(width, height, num_splats, tile_size=32, block=128,
                max_instance_mult=6, alpha_cutoff=1.0 / 256.0, early_stop_eps=0.0,
                accum_dtype="float32", grad_sort_dtype="float32",
-               packed_colors=False, forward_only=False, depth_bits=32):
+               packed_colors=False, forward_only=False, depth_bits=32,
+               expand_impl="auto"):
         assert block & (block - 1) == 0, "block must be a power of two"
         assert accum_dtype in ("float32", "bfloat16"), accum_dtype
         assert grad_sort_dtype in ("float32", "bfloat16"), grad_sort_dtype
@@ -140,6 +141,7 @@ class TileGrid:
             early_stop_eps=early_stop_eps, accum_dtype=accum_dtype,
             grad_sort_dtype=grad_sort_dtype, packed_colors=packed_colors,
             forward_only=forward_only, depth_bits=depth_bits,
+            expand_impl=expand_impl,
         )
 
 
@@ -178,6 +180,13 @@ def _expand_impl_ok(impl: str, emax: int, n: int, num_tiles: int,
     integers < 2^24 under Precision.HIGHEST — see _expand_fill_pallas);
     "packed" needs every (window_index << bits | field) word to fit int31.
     """
+    if impl == "onehot2":
+        # the sub-chunked window formula (wsub = SUBC // CTAB + 1) only covers
+        # every winner when CTAB divides SUBC and SUBC <= the chunk size; a
+        # CTAB raised past SUBC (e.g. a microbench sweep) would silently
+        # mis-bin, so the impl is simply infeasible there
+        if _EXPAND_CTAB > _EXPAND_SUBC or _EXPAND_SUBC % _EXPAND_CTAB != 0:
+            return False
     if impl in ("onehot", "onehotb", "onehot2"):
         return emax < 2**24 and n < 2**24 and (num_tiles << fbn) < 2**24
     ib = (_EXPAND_WBLK * _EXPAND_CTAB - 1).bit_length()

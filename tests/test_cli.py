@@ -160,3 +160,17 @@ def test_cli_render_stereo_shared_bins(tmp_path, test_ply_path):
     ])
     img = load_png(out)
     assert img.shape == (32, 64, 3)  # L/R side by side
+
+
+def test_cli_render_stereo_global_fallback(tmp_path, test_ply_path):
+    # --stereo with --pipeline global (or --supersample > 1) cannot use the
+    # shared-binning path (tiled-only); it must fall back to the per-eye
+    # render_batch path and still honor both flags (ADVICE r3)
+    out = str(tmp_path / "stereo_g.png")
+    main([
+        "render", test_ply_path, "-o", out, "--width", "32", "--height", "32",
+        "--eye", "0", "0.5", "2.5", "--stereo", "--pipeline", "global",
+        "--supersample", "2", "--no-floor",
+    ])
+    img = load_png(out)
+    assert img.shape == (32, 64, 3)  # L/R side by side

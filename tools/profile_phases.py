@@ -74,7 +74,7 @@ def main():
         max_instance_mult=args.instance_mult, early_stop_eps=args.early_stop,
         grad_sort_dtype="bfloat16", packed_colors=True,
         forward_only=args.fwd_only,
-        depth_bits=args.depth_bits or (16 if args.fwd_only else 32),
+        depth_bits=args.depth_bits or 16,  # matches bench.py: 16 is the production default
     )
     if args.instance_mult <= 0.0:
         from splatapult_tpu.render import calibrate_config
