@@ -97,13 +97,15 @@ def bench_mesh(args, scene, config):
             jnp.zeros((views, args.height, args.width, 4), jnp.float32),
             config, mesh)
 
+        allreduce = getattr(args, "allreduce", "psum")
+
         def k_steps(s, c, t, k_iters):
             def body(_, eps):
                 loss, grads = _sharded_value_and_grad(
                     GaussianScene(
                         means=s.means + eps, sh=s.sh, opacities=s.opacities,
                         log_scales=s.log_scales, quats=s.quats),
-                    c, t, config, mesh)
+                    c, t, config, mesh, grad_allreduce=allreduce)
                 return (loss + grads.means[0, 0]) * 1e-30
 
             return jax.lax.fori_loop(0, k_iters, body, jnp.float32(0.0))
@@ -132,6 +134,7 @@ def bench_mesh(args, scene, config):
         "vs_baseline": eff / 0.85,  # BASELINE.md: >=85% efficiency bar
         "rate_1chip_px_s": rates[1],
         f"rate_{n}chip_px_s": rates[n],
+        "allreduce": allreduce,
     }))
 
 
@@ -172,6 +175,14 @@ def main():
              "report per-chip pixels/s and efficiency. Meaningful numbers "
              "need N real chips; the mechanism runs anywhere (the driver "
              "dry-runs it on a virtual CPU mesh).",
+    )
+    parser.add_argument(
+        "--allreduce", default="psum", choices=("psum", "ring"),
+        help="gradient all-reduce flavor for --mesh: monolithic in-backward "
+             "psum, or the explicit ppermute ring whose 2(D-1) independent "
+             "collectives the latency-hiding scheduler CAN overlap with "
+             "backward compute (AOT schedule evidence, PERF.md round 3) — "
+             "A/B both on the first real slice",
     )
     parser.add_argument(
         "--views", type=int, default=1,

@@ -360,8 +360,32 @@ def _demand_fns(config: RenderConfig, grid):
     return demand, peak
 
 
+# Calibrated capacities quantize UP onto this geometric grid (x1.15 steps)
+# so nearby cameras/demands resolve to the SAME RenderConfig — and therefore
+# the same compiled program. A continuous mult made every materially-new
+# demand a new static config -> a full Mosaic+XLA recompile (minutes at 1M
+# under this environment's tunnel, PERF.md); a camera sweep calibrated
+# per-view would be compile-bound. The reference's analog tunes its radix
+# workgroup size ONCE per run, not per frame (ref: src/app.cpp:843-874).
+# Cost of bucketing: <= 15% capacity overshoot vs the exact demand (on top
+# of the explicit headroom), traded for compile reuse.
+CAPACITY_BUCKET = 1.15
+
+
+def bucket_capacity_mult(mult: float, bucket: float = CAPACITY_BUCKET) -> float:
+    """Round a capacity multiplier UP to the geometric grid bucket**k."""
+    import math
+
+    if bucket <= 1.0 or mult <= 0.0:
+        return mult
+    k = math.ceil(math.log(mult) / math.log(bucket) - 1e-9)
+    q = bucket ** k
+    return q if q >= mult else bucket ** (k + 1)
+
+
 def calibrate_config(scene: GaussianScene, cameras: Camera,
-                     config: RenderConfig, headroom: float = 1.06) -> RenderConfig:
+                     config: RenderConfig, headroom: float = 1.06,
+                     bucket: float = CAPACITY_BUCKET) -> RenderConfig:
     """Right-size the tiled pipeline's instance capacity for known view(s).
 
     Measures the true tile-instance demand of each camera (one cheap jitted
@@ -376,6 +400,11 @@ def calibrate_config(scene: GaussianScene, cameras: Camera,
 
     cameras: a single Camera or a [V]-batched one (leading axis on both
     fields); the peak demand across views is used.
+
+    The returned ``max_instance_mult`` is rounded UP onto the geometric
+    ``bucket`` grid (see bucket_capacity_mult) so nearby demands produce an
+    IDENTICAL config and reuse its compile; pass bucket=1.0 for the exact
+    (continuous) calibration.
     """
     from splatapult_tpu.ops.binning import TileGrid
 
@@ -390,7 +419,7 @@ def calibrate_config(scene: GaussianScene, cameras: Camera,
     else:
         demand = int(peak_fn(scene, cameras))
     n = max(scene.means.shape[0], 1)
-    mult = max(headroom * demand, 4096) / n
+    mult = bucket_capacity_mult(max(headroom * demand, 4096) / n, bucket)
     return dataclasses.replace(config, max_instance_mult=mult)
 
 

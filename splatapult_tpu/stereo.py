@@ -132,16 +132,24 @@ def stereo_instance_demand(scene, camera: Camera, config: RenderConfig,
 
 
 def calibrate_config_stereo(scene, camera: Camera, config: RenderConfig,
-                            ipd=0.064, headroom: float = 1.06) -> RenderConfig:
+                            ipd=0.064, headroom: float = 1.06,
+                            bucket: float | None = None) -> RenderConfig:
     """render.calibrate_config for the shared stereo binning: sizes the
     instance capacity from the measured UNION demand of both eyes (the
     single-view demand undersizes it — the union ran 2.49 vs 1.72
-    inst/splat at the 1M bench view, tools/probe_stereo.py)."""
+    inst/splat at the 1M bench view, tools/probe_stereo.py). The mult is
+    bucketed onto the render.CAPACITY_BUCKET geometric grid for compile
+    reuse across nearby poses (bucket=1.0 for exact)."""
     import dataclasses
+
+    from splatapult_tpu.render import CAPACITY_BUCKET, bucket_capacity_mult
 
     demand = int(jax.jit(
         stereo_instance_demand, static_argnames=("config",)
     )(scene, camera, config, ipd))
     n = max(scene.means.shape[0], 1)
-    mult = max(headroom * demand, 4096) / n
+    mult = bucket_capacity_mult(
+        max(headroom * demand, 4096) / n,
+        CAPACITY_BUCKET if bucket is None else bucket,
+    )
     return dataclasses.replace(config, max_instance_mult=mult)

@@ -11,14 +11,17 @@ import argparse
 import json
 
 import numpy as np
+import pytest
 
 import bench
 from splatapult_tpu.render import RenderConfig
 
 
-def test_bench_mesh_harness_runs_on_virtual_mesh(capsys):
+@pytest.mark.parametrize("allreduce", ["psum", "ring"])
+def test_bench_mesh_harness_runs_on_virtual_mesh(capsys, allreduce):
     args = argparse.Namespace(
         mesh=4, views=2, width=64, height=64, iters=2, verbose=False,
+        allreduce=allreduce,
     )
     scene = bench.make_scene(512, seed=0)
     config = RenderConfig(
@@ -29,6 +32,7 @@ def test_bench_mesh_harness_runs_on_virtual_mesh(capsys):
     line = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(line)
     assert rec["metric"].startswith("rays/s scaling efficiency 1->4")
+    assert rec["allreduce"] == allreduce
     assert np.isfinite(rec["value"]) and rec["value"] > 0
     assert np.isfinite(rec["rate_1chip_px_s"]) and rec["rate_1chip_px_s"] > 0
     assert np.isfinite(rec["rate_4chip_px_s"]) and rec["rate_4chip_px_s"] > 0

@@ -247,3 +247,41 @@ def test_calibrate_config_right_sizes_capacity():
     cal_b = calibrate_config(scene, batch, cfg)
     # the batch peak must cover the single-view demand of its worst view
     assert cal_b.max_instance_mult >= cal.max_instance_mult * 0.999
+
+
+def test_bucket_capacity_mult_grid():
+    """bucket_capacity_mult rounds UP onto the geometric grid, never down."""
+    from splatapult_tpu.render import CAPACITY_BUCKET, bucket_capacity_mult
+
+    for m in (0.3, 1.0, 1.07, 1.7199, 2.49, 5000.0):
+        q = bucket_capacity_mult(m)
+        assert q >= m * (1 - 1e-12)
+        assert q <= m * CAPACITY_BUCKET + 1e-9
+        # exact grid points are fixed points
+        assert bucket_capacity_mult(q) == q
+    assert bucket_capacity_mult(2.0, bucket=1.0) == 2.0  # exact mode
+
+
+def test_calibrate_config_bucketing_shares_compiles():
+    """Nearby cameras (demands within one geometric bucket) must calibrate to
+    an IDENTICAL config — the whole point: config equality == compile reuse
+    (VERDICT r3 item 7). A 4-view sweep of near-coincident cameras compiles
+    once, not 4 times."""
+    import bench
+    from splatapult_tpu.render import calibrate_config
+
+    # big enough that the measured demand (not the 4096 floor) sets the mult
+    scene = bench.make_scene(30_000, seed=3)
+    cfg = RenderConfig(width=64, height=64, pipeline="tiled", tile_size=16,
+                       tile_block=8, max_instance_mult=50)
+    cams = [_debug_camera(64, 64, eye=(0.0, 0.8 + dz, 4.5)) for dz in
+            (0.0, 0.02, 0.04, 0.06)]
+    exacts = [calibrate_config(scene, c, cfg, bucket=1.0) for c in cams]
+    # the sweep's demands genuinely differ (else this test proves nothing)...
+    mults = sorted(e.max_instance_mult for e in exacts)
+    assert mults[0] < mults[-1]
+    assert mults[0] > 4096 / 30_000  # demand-driven, not the floor
+    # ...yet all four bucketed calibrations are the SAME config object value
+    cals = [calibrate_config(scene, c, cfg) for c in cams]
+    assert all(c == cals[0] for c in cals[1:]), [c.max_instance_mult for c in cals]
+    assert cals[0].max_instance_mult >= mults[-1] * (1 - 1e-12)
