@@ -337,7 +337,7 @@ def _calibrated(args, scene, cam, config):
     config = calibrate_config(scene, cam, config)
     if args.verbose:
         print(f"# auto capacity: mult {config.max_instance_mult:.3f} "
-              f"({config.max_instance_mult / 1.06:.2f} inst/splat measured)")
+              f"(bucketed; includes 6% headroom)")
     return config
 
 

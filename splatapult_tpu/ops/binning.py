@@ -80,10 +80,10 @@ class TileGrid:
     # whole accumulated frame at half precision, far coarser)
     packed_colors: bool = False
     # forward-only rendering (the reference's actual mode — it has no backward
-    # at all, SURVEY.md "What the reference is"): drop the m_pos payload from
-    # the main instance sort. m_pos exists solely so the backward's transpose
-    # sort can ride gradients back to enumeration order; a viewer never pays
-    # for it. Differentiating a forward_only composite raises.
+    # at all, SURVEY.md "What the reference is"). Since round 4 the binning
+    # carries NO backward-only payload either way (the backward transpose
+    # re-keys on inst_splat, see ops/composite._cff_bwd), so this flag is a
+    # pure contract marker: differentiating a forward_only composite raises.
     forward_only: bool = False
     # depth precision inside the instance sort key: 32 = full f32 depth bits
     # (exact ordering; the default), 16 = the top 16 f32 bits (bf16 depth,
@@ -170,6 +170,15 @@ _EXPAND_SUBC = 128
 # failure mode — MXU bf16 truncation — is invisible in CPU interpret mode).
 _EXPAND_IMPL = "auto"
 _EXPAND_ORDER = ("onehot", "packed")
+# Compaction-branch override for A/B measurement tools ONLY ("auto" = the
+# exact runtime span check; "always" forces the 5-operand partition sort;
+# "never" forces the in-place path UNSAFELY — correctness then rests on the
+# view actually fitting the windows)
+_COMPACT_MODE = "auto"
+# A/B measurement global: emit the legacy m_pos enumeration-id payload from
+# the main instance sort (the round-1..3 design, whose backward tail sorted
+# by it); composite._cff_bwd keys its transpose on m_pos when present
+_EMIT_M_POS = False
 
 
 def _expand_impl_ok(impl: str, emax: int, n: int, num_tiles: int,
@@ -487,10 +496,9 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
 
     Returns dict:
       inst_splat [mcap] int32 — splat index per aligned instance slot (N = null)
-      m_pos [mcap] int32 — enumeration id per slot (emax = null/pad sentinel);
-        ABSENT when grid.forward_only (it exists only for the backward)
       seg_offs/seg_cnt [N] — per-splat enumeration segments (for the backward
-        gather transpose in ops/composite.py)
+        transpose in ops/composite.py: grads sorted by inst_splat group each
+        splat's instances into exactly [seg_offs, seg_offs + seg_cnt))
       block_tile [NB] int32 — owning tile of each B-block
       block_first [NB] int32 — 1 iff block is the first of its tile
       block_live [NB] int32 — 0 for blocks past the last real tile (skipped)
@@ -587,27 +595,76 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
         dbits = lax.bitcast_convert_type(
             jnp.maximum(jnp.asarray(depth, jnp.float32), 0.0), jnp.int32
         )  # non-negative f32 bits sort like the floats
-        # compact kept rows to a prefix (strictly increasing offs bounds the
-        # kernel's candidate window); ONE stable 1-key sort moves all columns.
-        # Depth rides as one 32-bit operand and splits into the kernel's two
-        # 16-bit sel fields after the sort (sort cost is per operand).
-        # Fast path: with NOTHING culled (common for a camera inside a fully
-        # visible scene) the partition is the identity — offs is already
-        # strictly increasing (every cnt >= 1) — and the 5-operand sort can
-        # be skipped at runtime (~3 ms at 1M on v5e; lax.cond executes only
-        # the taken branch on TPU).
+        # The expand kernel's candidate window needs the covering rows for any
+        # slot chunk to span few enough table rows. Compacting kept rows to a
+        # prefix (ONE stable 1-key sort over all 5 columns) guarantees it —
+        # but the sort is ~3 ms/M splats, and it is usually unnecessary:
+        # culled rows can instead stay IN PLACE as inert rows (sentinel offs:
+        # `offs_col <= m` is false for every slot, so they never win and
+        # their fields are never selected), as long as each chunk's winner
+        # span over the UNCOMPACTED table still fits the window. That span is
+        # exactly computable up front — winners for chunk j live in
+        # [lo_j, hi_j) = [last row with offs <= chunk start, first row with
+        # offs > chunk end) over the PLAIN (nondecreasing) offs — so the
+        # partition runs only when the exact check fails (dense culling;
+        # lax.cond executes only the taken branch on TPU). Nothing-culled
+        # views fit trivially (the round-3 fast path); few-culled views
+        # (e.g. a few thousand edge-clipped splats on the bench views) fit
+        # in the windows' typical slack (~1.7 slots/row means typical spans
+        # run well under the worst-case bound the window is sized for).
+        step = _EXPAND_SUBC if impl == "onehot2" else C
+        wneed = (_EXPAND_SUBC // ctab + 1) if impl == "onehot2" else wblk
+        chunk_starts = jnp.arange(emax // step, dtype=jnp.int32) * step
         nk = (~kept).astype(jnp.int32)
+        # ONE searchsorted serves both the span check and the in-place
+        # branch's window placement: lo_j = last row with offs <= chunk_j
+        # start (= the covering kept row — culled rows after it carry the
+        # NEXT kept row's offs, which exceeds the start). Winners for chunk
+        # j all precede lo_{j+1} + 1 (rows past lo_{j+1} have offs beyond
+        # chunk j's last slot), so the exact-span hi searchsorted is
+        # replaced by this one-array bound (conservative only by culled
+        # rows whose offs equals the next chunk start).
+        lo_u = jnp.clip(
+            jnp.searchsorted(offs, chunk_starts, side="right").astype(jnp.int32) - 1,
+            0, None,
+        )
+        lo_next = jnp.concatenate(
+            [lo_u[1:], jnp.full((1,), max(n - 1, 0), jnp.int32)]
+        )
+        fits = jnp.all(lo_next + 1 - (lo_u - lo_u % ctab) <= wneed * ctab)
         cols = (
             jnp.where(kept, offs, sent),
             (r0 * tx_n + x0) << fbn | jnp.maximum(nx, 1),
             dbits,
             jnp.arange(n, dtype=jnp.int32),
         )
-        offs_c, tnx_c, dbits_c, sid_c = lax.cond(
-            jnp.any(nk > 0),
-            lambda c: lax.sort((nk,) + c, num_keys=1, is_stable=True)[1:],
-            lambda c: c,
-            cols,
+
+        def _compact(c):
+            # kept rows to a prefix; window placement re-searches the sorted
+            # offs column (the precomputed lo_u indexes UNCOMPACTED rows)
+            res = lax.sort((nk,) + c, num_keys=1, is_stable=True)[1:]
+            lo_c = jnp.clip(
+                jnp.searchsorted(
+                    res[0], chunk_starts, side="right"
+                ).astype(jnp.int32) - 1,
+                0, None,
+            )
+            return res + (lo_c,)
+
+        def _in_place(c):
+            # culled rows stay put as inert sentinel rows (`offs_col <= m`
+            # is false for every slot: they never win, their fields are
+            # never selected); lo_u already points at the covering rows
+            return c + (lo_u,)
+
+        if _COMPACT_MODE == "always":
+            need_compact = jnp.any(nk > 0)
+        elif _COMPACT_MODE == "never":
+            need_compact = jnp.bool_(False)
+        else:
+            need_compact = jnp.any(nk > 0) & jnp.logical_not(fits)
+        offs_c, tnx_c, dbits_c, sid_c, lo = lax.cond(
+            need_compact, _compact, _in_place, cols,
         )
         pad_rows = n_pad - n
         offs_c = jnp.concatenate([offs_c, jnp.full((pad_rows,), sent, jnp.int32)])
@@ -617,13 +674,7 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
         dhi_c = dbits_c >> 16
         dlo_c = dbits_c & 0xFFFF
         sid_c = jnp.concatenate([sid_c, zpad])
-        step = _EXPAND_SUBC if impl == "onehot2" else C
-        wneed = (_EXPAND_SUBC // ctab + 1) if impl == "onehot2" else wblk
-        chunk_starts = jnp.arange(emax // step, dtype=jnp.int32) * step
-        lo = jnp.clip(
-            jnp.searchsorted(offs_c, chunk_starts, side="right").astype(jnp.int32) - 1,
-            0, n_pad - 1,
-        )
+        lo = jnp.clip(lo, 0, n_pad - 1)
         lo_blk = jnp.clip(lo // ctab, 0, n_pad // ctab - wneed)
         out3 = _expand_fill_pallas(
             offs_c, tnx_c, dhi_c, dlo_c, sid_c, lo_blk, grid, fbt, fbn, ob,
@@ -684,14 +735,16 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
     # very end. Every tile segment is now exactly ceil(count/b)*b long, so
     # segment starts are b-aligned and the sorted order IS the block-aligned
     # instance buffer.
-    fwd_only = grid.forward_only
+    # No backward-only payload rides this sort: the backward's transpose
+    # re-keys on inst_splat itself (splat-grouped order has the same
+    # [seg_offs, seg_offs + seg_cnt) segment structure as enumeration order,
+    # and segment SUMS are order-independent — see ops/composite._cff_bwd),
+    # so the old m_pos enumeration-id operand (1 of 4 at f32 depth, 1 of 3
+    # at depth16) is gone from the trainer profile too.
     tile_all = jnp.concatenate([tile, pad_tile])
     s_all = jnp.concatenate([s, jnp.full((pad_cap,), n, jnp.int32)])
-    # m_pos exists solely for the backward's transpose sort; forward-only
-    # drops the whole payload operand from the sort (~1 operand in 4)
-    m_all = None if fwd_only else jnp.concatenate(
-        [m, jnp.full((pad_cap,), emax, jnp.int32)]
-    )
+    m_all = (jnp.concatenate([m, jnp.full((pad_cap,), emax, jnp.int32)])
+             if _EMIT_M_POS else None)
     m_pos = None
     if depth is not None:
         # per-instance depth + descending-splat-index tie-break as extra sort
@@ -717,29 +770,26 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
                 valid_m, (dep_enum >> 16) & 0xFFFF, 0xFFFF
             )
             key_all = jnp.concatenate([key, (pad_tile << 16) | 0xFFFF])
-            ops = (key_all, -s_all) + (() if fwd_only else (m_all,))
+            ops = (key_all, -s_all) + (() if m_all is None else (m_all,))
             res = lax.sort(ops, num_keys=2, is_stable=False)
             tile_sorted, inst_splat = res[0] >> 16, -res[1]
-            if not fwd_only:
-                m_pos = res[2]
+            m_pos = res[2] if m_all is not None else None
         else:
             dep_all = jnp.concatenate(
                 [jnp.where(valid_m, dep_enum, imax),
                  jnp.full((pad_cap,), imax, jnp.int32)]
             )
-            ops = (tile_all, dep_all, -s_all) + (() if fwd_only else (m_all,))
+            ops = (tile_all, dep_all, -s_all) + (() if m_all is None else (m_all,))
             res = lax.sort(ops, num_keys=3, is_stable=False)
             tile_sorted, inst_splat = res[0], -res[2]
-            if not fwd_only:
-                m_pos = res[3]
+            m_pos = res[3] if m_all is not None else None
     else:
         # input pre-sorted front-to-back: enum order is depth order; a stable
         # tile sort preserves it
-        ops = (tile_all, s_all) + (() if fwd_only else (m_all,))
+        ops = (tile_all, s_all) + (() if m_all is None else (m_all,))
         res = lax.sort(ops, num_keys=1, is_stable=True)
         tile_sorted, inst_splat = res[0], res[1]
-        if not fwd_only:
-            m_pos = res[2]
+        m_pos = res[2] if m_all is not None else None
 
     # ---- block metadata: free strided slices of the sorted tile ids ----
     nb = grid.num_blocks
@@ -773,6 +823,6 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
         "tile_count": tile_count,
         "num_culled_instances": overflow,
     }
-    if not fwd_only:
+    if m_pos is not None:
         bins["m_pos"] = m_pos
     return bins

@@ -480,9 +480,8 @@ def _cff_fwd(feats, bins, grid):
     if grid.forward_only:
         raise ValueError(
             "composite_from_feats cannot be differentiated with "
-            "forward_only=True: the binning dropped the m_pos payload the "
-            "backward's transpose sort needs. Render with forward_only=False "
-            "to train."
+            "forward_only=True: the viewer contract declares no backward. "
+            "Render with forward_only=False to train."
         )
     src = _pack_color_feats(feats) if grid.packed_colors else feats
     inst = _gather_rows(src, bins["inst_splat"])
@@ -539,29 +538,38 @@ def _unpack_bf16_pairs(packed, n_cols):
 def _cff_bwd(grid, residuals, dout):
     inst, bins, out = residuals
     d_inst = _bwd_call(inst, bins["block_meta"], out, dout, grid)
-    # sort transpose: pos-space grads -> enumeration order -> per-splat sums.
-    # The nine live gradient columns ride the m_pos sort as payload operands:
-    # sorts stream HBM sequentially (~0.3 ms per operand at 2M rows) whereas
-    # the alternative — inverting the permutation and row-gathering d_inst —
-    # is a random-access sweep over a 150 MB array (~110 ms measured on v5e).
-    # Pad/sentinel slots carry m = emax and sort past the first emax entries;
-    # their d rows are zeros anyway (the backward kernel zero-fills skipped
-    # blocks).
+    # sort transpose: tile-sorted grads -> SPLAT-GROUPED order -> per-splat
+    # sums. The sort key is inst_splat itself (already in bins): ascending
+    # splat ids group each splat's instances into exactly the contiguous
+    # range [seg_offs_i, seg_offs_i + seg_cnt_i) — the same segments the
+    # enumeration order had, because seg_offs is the exclusive cumsum of
+    # seg_cnt in splat-index order — and a segment SUM does not care about
+    # the within-segment order. This replaced round 1-3's m_pos
+    # (enumeration-id) key, which had to ride the MAIN instance sort as a
+    # payload operand purely to be available here; keying on inst_splat
+    # deletes that operand from the hot sort (1 of 3 at depth16) at zero
+    # cost. Sorts stream HBM sequentially (~0.3 ms per operand at 2M rows)
+    # whereas the alternative — inverting the permutation and row-gathering
+    # d_inst — is a random-access sweep over a 150 MB array (~110 ms
+    # measured on v5e). Pad/sentinel slots carry s = N and sort past every
+    # real instance; their d rows are zeros anyway (the backward kernel
+    # zero-fills skipped blocks, null instances have zero weight).
+    tail_key = bins.get("m_pos", bins["inst_splat"])
     if grid.grad_sort_dtype == "bfloat16":
         # the sort is byte-bound: pairs of bf16 gradient columns ride one
         # int32 payload each (5 operands instead of 9). Only the PER-INSTANCE
         # values round to bf16; the per-splat segment sums below stay f32.
         packed = _pack_bf16_pairs([d_inst[i] for i in range(NUM_GRAD_COLS)])
-        sorted_p = lax.sort((bins["m_pos"],) + tuple(packed), num_keys=1)
+        sorted_p = lax.sort((tail_key,) + tuple(packed), num_keys=1)
         sorted_cols = (sorted_p[0],) + tuple(
             _unpack_bf16_pairs(sorted_p[1:], NUM_GRAD_COLS)
         )
     else:
         sorted_cols = lax.sort(
-            (bins["m_pos"],) + tuple(d_inst[i] for i in range(NUM_GRAD_COLS)),
+            (tail_key,) + tuple(d_inst[i] for i in range(NUM_GRAD_COLS)),
             num_keys=1,
         )
-    # per-splat segment sums over the enumeration ranges. Segments are
+    # per-splat segment sums over the splat-grouped ranges. Segments are
     # CONTIGUOUS (offs is an exact exclusive cumsum of cnt, dropped splats
     # have cnt == 0), so start_i == end_{i-1} and one prefix gather + a
     # first-difference replaces two gathers. ONE [emax, 9] row gather: on v5e

@@ -360,16 +360,19 @@ def _demand_fns(config: RenderConfig, grid):
     return demand, peak
 
 
-# Calibrated capacities quantize UP onto this geometric grid (x1.15 steps)
+# Calibrated capacities quantize UP onto this geometric grid (x1.08 steps)
 # so nearby cameras/demands resolve to the SAME RenderConfig — and therefore
 # the same compiled program. A continuous mult made every materially-new
 # demand a new static config -> a full Mosaic+XLA recompile (minutes at 1M
 # under this environment's tunnel, PERF.md); a camera sweep calibrated
 # per-view would be compile-bound. The reference's analog tunes its radix
 # workgroup size ONCE per run, not per frame (ref: src/app.cpp:843-874).
-# Cost of bucketing: <= 15% capacity overshoot vs the exact demand (on top
-# of the explicit headroom), traded for compile reuse.
-CAPACITY_BUCKET = 1.15
+# Grid pitch: every capacity-proportional per-step cost (sorts, gather,
+# kernel grids — ~60% of a 1M step) pays the overshoot, so the pitch is a
+# real knob: 1.15 measured +1.8 ms on the 1M fwd-only step (mult 1.82 ->
+# 2.011); 1.08 caps the overshoot at 8% (avg ~4%) and still shares one
+# compile across a sweep's typical few-percent demand spread.
+CAPACITY_BUCKET = 1.08
 
 
 def bucket_capacity_mult(mult: float, bucket: float = CAPACITY_BUCKET) -> float:

@@ -519,8 +519,9 @@ def test_binning_expand_window_adversarial(monkeypatch, rng, impl):
 
 
 def test_forward_only_image_identical_and_no_mpos(rng):
-    """forward_only drops only backward plumbing: the rendered image must be
-    bit-identical to the default path, and the bins must not carry m_pos."""
+    """forward_only is a pure contract marker since the m_pos payload was
+    deleted for every profile: the rendered image must be bit-identical to
+    the default path, and NO binning profile carries an m_pos array."""
     scene = _random_scene(rng)
     cam = _camera()
     cfg_fwd = dataclasses.replace(TILED, forward_only=True)
@@ -528,12 +529,13 @@ def test_forward_only_image_identical_and_no_mpos(rng):
     b = np.asarray(render(scene, cam, cfg_fwd))
     np.testing.assert_array_equal(a, b)
 
-    grid = TileGrid.create(width=32, height=32, num_splats=8, tile_size=16,
-                           block=8, forward_only=True)
-    mean2d = jnp.tile(jnp.asarray([[8.0, 8.0]]), (8, 1))
-    bins = bin_splats(mean2d, jnp.full((8,), 2.0), grid,
-                      depth=jnp.arange(8, dtype=jnp.float32) + 1.0)
-    assert "m_pos" not in bins
+    for fwd_only in (True, False):
+        grid = TileGrid.create(width=32, height=32, num_splats=8, tile_size=16,
+                               block=8, forward_only=fwd_only)
+        mean2d = jnp.tile(jnp.asarray([[8.0, 8.0]]), (8, 1))
+        bins = bin_splats(mean2d, jnp.full((8,), 2.0), grid,
+                          depth=jnp.arange(8, dtype=jnp.float32) + 1.0)
+        assert "m_pos" not in bins
 
 
 def test_forward_only_grad_raises(rng):
@@ -635,6 +637,36 @@ def test_binning_all_kept_identity_fast_path(monkeypatch, rng):
         b = jax.tree.map(np.asarray, bin_splats(mean2d, ext, grid, depth=depth))
     for k in a:
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_compaction_skip_modes_bit_exact(monkeypatch, rng):
+    """Lightly-culled views (scattered empty rects, the bench-view shape) must
+    bin identically under all three _COMPACT_MODE settings: 'auto' takes the
+    in-place branch (culled rows as inert sentinel rows), which must match
+    the forced partition sort bit for bit."""
+    import splatapult_tpu.ops.binning as B
+
+    grid = TileGrid.create(width=256, height=256, num_splats=4096,
+                           tile_size=16, block=8, max_instance_mult=4)
+    assert grid.emax % B._EXPAND_C == 0
+    mean2d = jnp.asarray(rng.uniform(20, 230, (4096, 2)), jnp.float32)
+    ext = np.asarray(rng.uniform(0.5, 8.0, (4096, 2)), np.float32)
+    culled = rng.permutation(4096)[:97]  # ~2% scattered, like edge clipping
+    ext[culled] = 0.0
+    ext = jnp.asarray(ext)
+    depth = jnp.asarray(rng.uniform(0.1, 50.0, (4096,)), jnp.float32)
+    outs = {}
+    for mode in ("always", "never", "auto"):
+        with monkeypatch.context() as m:
+            m.setattr(B, "_COMPACT_MODE", mode)
+            outs[mode] = jax.tree.map(
+                np.asarray, bin_splats(mean2d, ext, grid, depth=depth))
+    assert outs["auto"]["tile_count"].sum() > 0
+    for k in outs["always"]:
+        np.testing.assert_array_equal(outs["always"][k], outs["auto"][k],
+                                      err_msg=f"auto: {k}")
+        np.testing.assert_array_equal(outs["always"][k], outs["never"][k],
+                                      err_msg=f"never: {k}")
 
 
 def test_split_gather_bit_exact(monkeypatch, rng):

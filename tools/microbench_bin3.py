@@ -202,8 +202,7 @@ def main():
     def f_whole(c, mean2d, extent, depth):
         bins = bin_splats(mean2d + (c * 0).astype(jnp.float32), extent, grid,
                           depth=depth)
-        return c + (bins["inst_splat"].sum() + bins["m_pos"].sum()
-                    ).astype(jnp.float32) * 1e-30
+        return c + bins["inst_splat"].sum().astype(jnp.float32) * 1e-30
 
     timed("bin_splats total", f_whole, iv["mean2d"], iv["extent"], iv["depth"])
 

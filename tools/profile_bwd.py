@@ -141,7 +141,7 @@ def main():
     def transpose_tail(c, d):
         d = d + c
         sorted_cols = lax.sort(
-            (bins["m_pos"],) + tuple(d[:, i] for i in range(9)), num_keys=1
+            (bins["inst_splat"],) + tuple(d[:, i] for i in range(9)), num_keys=1
         )
         d_enum = jnp.stack([col[: grid.emax] for col in sorted_cols[1:]], axis=1)
         cs = jnp.cumsum(d_enum, axis=0)
@@ -156,7 +156,7 @@ def main():
     def transpose_tail_new(c, d):
         d = d + c
         sorted_cols = lax.sort(
-            (bins["m_pos"],) + tuple(d[:, i] for i in range(9)), num_keys=1
+            (bins["inst_splat"],) + tuple(d[:, i] for i in range(9)), num_keys=1
         )
         cs8 = C._blocked_cumsum(
             jnp.stack([col[: grid.emax] for col in sorted_cols[1:9]], axis=1)
@@ -181,7 +181,7 @@ def main():
     def sort_only(c, d):
         d = d + c
         sorted_cols = lax.sort(
-            (bins["m_pos"],) + tuple(d[:, i] for i in range(9)), num_keys=1
+            (bins["inst_splat"],) + tuple(d[:, i] for i in range(9)), num_keys=1
         )
         return chain(c, sorted_cols[1])
 

@@ -30,8 +30,7 @@ def main():
     parser.add_argument("--tile-block", type=int, default=128)
     parser.add_argument("--early-stop", type=float, default=1e-4)
     parser.add_argument("--fwd-only", action="store_true",
-                        help="profile the viewer configuration (no m_pos "
-                             "payload; implies --depth-bits 16 unless set)")
+                        help="profile the viewer configuration")
     parser.add_argument("--depth-bits", type=int, default=0, choices=(0, 16, 32))
     parser.add_argument(
         "--phases", type=str,
