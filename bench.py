@@ -334,10 +334,14 @@ def _calibrated(args, scene, cam, config):
     # capacity (render.calibrate_config)
     from splatapult_tpu.render import calibrate_config
 
-    config = calibrate_config(scene, cam, config)
+    # bucket=1.0: the bench measures ONE fixed view per scene, so the exact
+    # demand-fit capacity is the right measurement (the geometric bucketing
+    # exists to share compiles across a camera SWEEP and costs up to 8%
+    # capacity overshoot); the power-of-two sort-cliff clamp still applies
+    config = calibrate_config(scene, cam, config, bucket=1.0)
     if args.verbose:
         print(f"# auto capacity: mult {config.max_instance_mult:.3f} "
-              f"(bucketed; includes 6% headroom)")
+              f"(exact fit + cliff clamp; includes 6% headroom)")
     return config
 
 

@@ -111,7 +111,7 @@ def calibrate_config_cluster(scene, cameras: Camera, config: RenderConfig,
     """Size the instance capacity for the peak UNION demand across the path's
     clusters (the single-view demand undersizes a shared binning; cf.
     stereo.calibrate_config_stereo). Bucketed for compile reuse."""
-    from splatapult_tpu.render import CAPACITY_BUCKET, bucket_capacity_mult
+    from splatapult_tpu.render import CAPACITY_BUCKET, capacity_mult_for_demand
 
     jd = jax.jit(cluster_instance_demand, static_argnames=("config",))
     v = cameras.cam_to_world.shape[0]
@@ -119,9 +119,8 @@ def calibrate_config_cluster(scene, cameras: Camera, config: RenderConfig,
     for c0 in range(0, v, cluster_size):
         sub = _slice_cameras(cameras, c0, min(c0 + cluster_size, v))
         peak = max(peak, int(jd(scene, sub, config)))
-    n = max(scene.means.shape[0], 1)
-    mult = bucket_capacity_mult(
-        max(headroom * peak, 4096) / n,
+    mult = capacity_mult_for_demand(
+        peak, scene.means.shape[0], config, headroom,
         CAPACITY_BUCKET if bucket is None else bucket,
     )
     return dataclasses.replace(config, max_instance_mult=mult)

@@ -386,6 +386,41 @@ def bucket_capacity_mult(mult: float, bucket: float = CAPACITY_BUCKET) -> float:
     return q if q >= mult else bucket ** (k + 1)
 
 
+def capacity_mult_for_demand(demand: int, num_splats: int,
+                             config: RenderConfig, headroom: float = 1.06,
+                             bucket: float = CAPACITY_BUCKET) -> float:
+    """Demand -> max_instance_mult: headroom, geometric bucketing, and the
+    POWER-OF-TWO SORT CLIFF clamp.
+
+    XLA:TPU's lax.sort cost steps ~35-50% the moment the row count crosses a
+    power of two (tools/probe_sort_pow2.py: 2,087,936 rows sort in 4.31 ms,
+    2,112,512 in 5.75 — and exact powers are local minima, 2^21 = 3.89).
+    Every per-step sort runs at mcap = emax + tiles*block rows, so a
+    capacity whose mcap lands just past 2^k pays the step in the main
+    instance sort AND the backward tail sort: measured +20 ms on the 1M
+    fwd+bwd step (119.3 -> 99.4 across the 2^21 boundary, PERF.md round 4).
+    Whenever the demand itself fits below the boundary, the bucketed
+    capacity is clamped down to keep mcap under it."""
+    import math
+
+    from splatapult_tpu.ops.binning import TileGrid
+
+    n = max(num_splats, 1)
+    mult_needed = max(headroom * demand, 4096) / n
+    mult = bucket_capacity_mult(mult_needed, bucket)
+    # reconstruct the emax/mcap geometry TileGrid.create derives from mult
+    tiles = ((-(-config.width // config.tile_size))
+             * (-(-config.height // config.tile_size)))
+    pad_cap = tiles * config.tile_block
+    emax_needed = max(4096, -(-int(mult_needed * n) // 4096) * 4096)
+    cliff = 1 << math.ceil(math.log2(emax_needed + pad_cap))
+    emax_cap = (cliff - pad_cap) // 4096 * 4096
+    emax = max(4096, -(-int(mult * n) // 4096) * 4096)
+    if emax > emax_cap >= emax_needed:
+        mult = emax_cap / n
+    return mult
+
+
 def calibrate_config(scene: GaussianScene, cameras: Camera,
                      config: RenderConfig, headroom: float = 1.06,
                      bucket: float = CAPACITY_BUCKET) -> RenderConfig:
@@ -421,8 +456,8 @@ def calibrate_config(scene: GaussianScene, cameras: Camera,
         demand = int(demand_fn(scene, cameras))
     else:
         demand = int(peak_fn(scene, cameras))
-    n = max(scene.means.shape[0], 1)
-    mult = bucket_capacity_mult(max(headroom * demand, 4096) / n, bucket)
+    mult = capacity_mult_for_demand(demand, scene.means.shape[0], config,
+                                    headroom, bucket)
     return dataclasses.replace(config, max_instance_mult=mult)
 
 

@@ -142,14 +142,13 @@ def calibrate_config_stereo(scene, camera: Camera, config: RenderConfig,
     reuse across nearby poses (bucket=1.0 for exact)."""
     import dataclasses
 
-    from splatapult_tpu.render import CAPACITY_BUCKET, bucket_capacity_mult
+    from splatapult_tpu.render import CAPACITY_BUCKET, capacity_mult_for_demand
 
     demand = int(jax.jit(
         stereo_instance_demand, static_argnames=("config",)
     )(scene, camera, config, ipd))
-    n = max(scene.means.shape[0], 1)
-    mult = bucket_capacity_mult(
-        max(headroom * demand, 4096) / n,
+    mult = capacity_mult_for_demand(
+        demand, scene.means.shape[0], config, headroom,
         CAPACITY_BUCKET if bucket is None else bucket,
     )
     return dataclasses.replace(config, max_instance_mult=mult)

@@ -289,3 +289,34 @@ def test_calibrate_config_bucketing_shares_compiles():
     assert len(distinct) <= 2
     for cal, exact in zip(cals, exacts):
         assert cal.max_instance_mult >= exact.max_instance_mult * (1 - 1e-12)
+
+
+def test_capacity_cliff_clamp():
+    """The pow2 sort-cliff clamp (capacity_mult_for_demand): when the demand
+    fits under a power-of-two mcap boundary but the bucketed capacity would
+    cross it, the capacity clamps down to stay under (lax.sort cost steps
+    ~35-50% at the boundary, tools/probe_sort_pow2.py / PERF.md round 4)."""
+    from splatapult_tpu.render import capacity_mult_for_demand
+
+    cfg = RenderConfig(width=1920, height=1080, pipeline="tiled",
+                       tile_size=32, tile_block=128)
+    pad_cap = 60 * 34 * 128  # 1080p tile32 grid
+
+    def emax_of(mult, n):
+        return max(4096, -(-int(mult * n) // 4096) * 4096)
+
+    n = 1_000_000
+    demand = 1_723_000  # the 1M bench view's measured demand
+    mult = capacity_mult_for_demand(demand, n, cfg)
+    emax = emax_of(mult, n)
+    assert emax >= int(demand * 1.06)          # still fits the demand
+    assert emax + pad_cap <= 2 ** 21           # clamped under the cliff
+    # without the clamp the bucket grid (1.08^8 = 1.851) crosses it
+    from splatapult_tpu.render import bucket_capacity_mult
+
+    raw = bucket_capacity_mult(demand * 1.06 / n)
+    assert emax_of(raw, n) + pad_cap > 2 ** 21
+    # demand ABOVE the cliff: nothing to clamp to; capacity still covers it
+    demand_big = 2_300_000
+    mult_big = capacity_mult_for_demand(demand_big, n, cfg)
+    assert emax_of(mult_big, n) >= int(demand_big * 1.06)
