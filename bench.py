@@ -222,6 +222,14 @@ def main():
              "(--no-packed-colors for exact f32 colors)",
     )
     parser.add_argument(
+        "--packed-feats16", default="auto", choices=("auto", "on", "off"),
+        help="quantize whole instance feature rows to 16 B so giant tables "
+             "stay in the fast gather regime (~15 ns/idx above ~85-120 MB "
+             "vs 3.5-4.7 below, PERF.md). auto = on when the packed_colors "
+             "table would exceed 100 MB (N > ~3.1M splats); committed error "
+             "bounds in tests/test_tiled.py",
+    )
+    parser.add_argument(
         "--early-stop", type=float, default=1e-4,
         help="skip blocks once a tile's max transmittance falls below this "
              "(0 = exact; 1e-4 is the standard 3DGS termination threshold)",
@@ -315,6 +323,9 @@ def _make_config(args):
     # ordering is one flag away (--depth-bits 32), like the other precision
     # knobs. Measured: garden fwd+bwd 161.0 -> 157.6 ms (PERF.md round 3).
     depth_bits = args.depth_bits or 16
+    pf16 = getattr(args, "packed_feats16", "off")
+    packed16 = (pf16 == "on"
+                or (pf16 == "auto" and args.splats * 32 > 100_000_000))
     return RenderConfig(
         width=args.width, height=args.height, pipeline="tiled",
         tile_size=args.tile_size, tile_block=args.tile_block,
@@ -322,6 +333,7 @@ def _make_config(args):
         early_stop_eps=args.early_stop,
         grad_sort_dtype=args.grad_sort_dtype,
         packed_colors=args.packed_colors,
+        packed_feats16=packed16,
         forward_only=args.fwd_only,
         depth_bits=depth_bits,
     )

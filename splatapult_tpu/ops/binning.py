@@ -95,6 +95,11 @@ class TileGrid:
     # (the reference's submission-order semantics). Requires num_tiles < 2^15
     # (any 1080p tile32 grid qualifies); falls back to 32 otherwise.
     depth_bits: int = 32
+    # quantize the WHOLE instance feature row into 4 int32 = 16 B (16-bit
+    # fixed means, f16 conic + ln-alpha, 11/11/10-bit colors) so a 5M-splat
+    # table stays inside the fast gather regime; coarser than packed_colors
+    # — see ops/composite.NUM_FEATS_PACKED16 for the layout and error bounds
+    packed_feats16: bool = False
     # expand-kernel implementation: "auto" defers to the module-level
     # preference order (_EXPAND_ORDER — skipping infeasible impls); naming
     # one of "onehot"/"onehotb"/"onehot2"/"packed" pins it through the
@@ -127,7 +132,7 @@ class TileGrid:
                max_instance_mult=6, alpha_cutoff=1.0 / 256.0, early_stop_eps=0.0,
                accum_dtype="float32", grad_sort_dtype="float32",
                packed_colors=False, forward_only=False, depth_bits=32,
-               expand_impl="auto"):
+               expand_impl="auto", packed_feats16=False):
         assert block & (block - 1) == 0, "block must be a power of two"
         assert accum_dtype in ("float32", "bfloat16"), accum_dtype
         assert grad_sort_dtype in ("float32", "bfloat16"), grad_sort_dtype
@@ -141,7 +146,7 @@ class TileGrid:
             early_stop_eps=early_stop_eps, accum_dtype=accum_dtype,
             grad_sort_dtype=grad_sort_dtype, packed_colors=packed_colors,
             forward_only=forward_only, depth_bits=depth_bits,
-            expand_impl=expand_impl,
+            expand_impl=expand_impl, packed_feats16=packed_feats16,
         )
 
 

@@ -67,10 +67,85 @@ NUM_MOMS = 8  # [u^2, uv, v^2, u, v, 1] + 2 zero-pad columns
 # range +-8); rows shrink to 8 cols = 32 B, the fast row-gather shape on v5e
 COLOR_SCALE = 4096.0
 NUM_FEATS_PACKED = 8
+# packed_feats16 mode (the 5M-regime answer): EVERY feature quantized into
+# 4 int32 = 16 B rows, so even a 5M-splat table (80 MB) stays inside the
+# fast gather regime (tables past ~85-120 MB gather at ~15 ns/idx vs
+# 3.5-4.7 below it — size/residency-driven, tools/probe_gather_real.py).
+# Layout per row:
+#   w0: mean_x | mean_y as unsigned 16-bit fixed point over [-W, 2W) x
+#       [-H, 2H) (the CLIP=1.5 guard band bounds live means to
+#       [-W/2, 1.5W]); step = 3W/65536 (~0.088 px at 1080p)
+#   w1: f16(qa) << 16 | f16(qb)
+#   w2: f16(qc) << 16 | f16(ln_alpha)
+#   w3: r:11 | g:11 | b:10 unsigned fixed point over [-4, 4)
+# Coarser than packed_colors (color step 2^-8/2^-7 vs 2^-12; the reference's
+# own --fp16 framebuffer is comparable); gated by image/grad-error tests and
+# meant for the table-size regime where the alternative is a 3-4x slower
+# gather. Null rows encode exactly (ln_alpha = -100 is f16-representable).
+NUM_FEATS_PACKED16 = 4
+MEAN16_STEPS = 65536.0
+COLOR11_SCALE = 256.0  # 11-bit channels: step 1/256 over [-4, 4)
+COLOR10_SCALE = 128.0  # 10-bit channel:  step 1/128 over [-4, 4)
 
 
 def _num_feats(grid) -> int:
+    if getattr(grid, "packed_feats16", False):
+        return NUM_FEATS_PACKED16
     return NUM_FEATS_PACKED if grid.packed_colors else NUM_FEATS
+
+
+def _mean16_scales(grid):
+    """(sx, sy): steps per pixel of the 16-bit mean quantization."""
+    return (MEAN16_STEPS / (3.0 * grid.width),
+            MEAN16_STEPS / (3.0 * grid.height))
+
+
+def _f16_bits(x):
+    """f32 column [*, 1] -> uint32 of its f16 bit pattern."""
+    return lax.bitcast_convert_type(
+        x.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+
+
+def _bits_f16(h):
+    """int32 low-16 f16 bit pattern -> f32 column, decoded with INTEGER ops.
+
+    Mosaic supports neither f16 arithmetic nor uint32->f32 casts in kernels,
+    so the decode is manual: re-bias the exponent into f32 bits for normals,
+    scale the mantissa for subnormals (large splats legitimately carry
+    f16-subnormal conic entries: sigma ~ 100 px -> qa ~ -5e-5)."""
+    h = h & 0xFFFF
+    sign = (h >> 15) & 1
+    exp = (h >> 10) & 0x1F
+    man = h & 0x3FF
+    f32_bits = (sign << 31) | ((exp + 112) << 23) | (man << 13)
+    normal = lax.bitcast_convert_type(f32_bits, jnp.float32)
+    sub = (man.astype(jnp.float32)
+           * jnp.where(sign == 1, -5.9604645e-08, 5.9604645e-08))  # 2^-24
+    # exp == 31 (inf/nan) never occurs: every encoded field is bounded
+    return jnp.where(exp > 0, normal, sub)
+
+
+def _pack_feats16(feats, grid):
+    """[*, 16] f32 feature rows -> [*, 4] int32 (see NUM_FEATS_PACKED16)."""
+    sx, sy = _mean16_scales(grid)
+    qx = jnp.clip(jnp.round((feats[:, F_MX:F_MX + 1] + grid.width) * sx),
+                  0.0, 65535.0).astype(jnp.uint32)
+    qy = jnp.clip(jnp.round((feats[:, F_MY:F_MY + 1] + grid.height) * sy),
+                  0.0, 65535.0).astype(jnp.uint32)
+    w0 = (qx << 16) | qy
+    w1 = (_f16_bits(feats[:, F_QA:F_QA + 1]) << 16) | _f16_bits(
+        feats[:, F_QB:F_QB + 1])
+    w2 = (_f16_bits(feats[:, F_QC:F_QC + 1]) << 16) | _f16_bits(
+        feats[:, F_LNA:F_LNA + 1])
+    qr = jnp.clip(jnp.round((feats[:, F_R:F_R + 1] + 4.0) * COLOR11_SCALE),
+                  0.0, 2047.0).astype(jnp.uint32)
+    qg = jnp.clip(jnp.round((feats[:, F_G:F_G + 1] + 4.0) * COLOR11_SCALE),
+                  0.0, 2047.0).astype(jnp.uint32)
+    qb = jnp.clip(jnp.round((feats[:, F_B:F_B + 1] + 4.0) * COLOR10_SCALE),
+                  0.0, 1023.0).astype(jnp.uint32)
+    w3 = (qr << 21) | (qg << 10) | qb
+    return lax.bitcast_convert_type(
+        jnp.concatenate([w0, w1, w2, w3], axis=1), jnp.int32)
 
 
 def _pack_color_feats(feats):
@@ -94,8 +169,31 @@ def _pack_color_feats(feats):
 def _unpack_feats(raw, grid):
     """Kernel-side feature decode -> (geometry [B, >=6] f32, colors [B, 3] f32).
 
-    raw is the block's feature ref contents: [B, 16] f32 in exact mode, or
-    [B, 8] int32 in packed_colors mode (see _pack_color_feats)."""
+    raw is the block's feature ref contents: [B, 16] f32 in exact mode,
+    [B, 8] int32 in packed_colors mode (see _pack_color_feats), or [B, 4]
+    int32 in packed_feats16 mode (see NUM_FEATS_PACKED16)."""
+    if getattr(grid, "packed_feats16", False):
+        # int32 bit manipulation throughout: Mosaic kernels support neither
+        # uint32->f32 casts nor f16 math (arithmetic >> then mask is exact
+        # for these unsigned fields)
+        u = raw  # already int32
+        sx, sy = _mean16_scales(grid)
+        qx = (u[:, 0:1] >> 16) & 0xFFFF
+        qy = u[:, 0:1] & 0xFFFF
+        mx = qx.astype(jnp.float32) * (1.0 / sx) - grid.width
+        my = qy.astype(jnp.float32) * (1.0 / sy) - grid.height
+        qa = _bits_f16(u[:, 1:2] >> 16)
+        qb = _bits_f16(u[:, 1:2])
+        qc = _bits_f16(u[:, 2:3] >> 16)
+        lna = _bits_f16(u[:, 2:3])
+        r = (((u[:, 3:4] >> 21) & 0x7FF).astype(jnp.float32)
+             * (1.0 / COLOR11_SCALE) - 4.0)
+        g = (((u[:, 3:4] >> 10) & 0x7FF).astype(jnp.float32)
+             * (1.0 / COLOR11_SCALE) - 4.0)
+        b = ((u[:, 3:4] & 0x3FF).astype(jnp.float32)
+             * (1.0 / COLOR10_SCALE) - 4.0)
+        geo = jnp.concatenate([mx, my, qa, qb, qc, lna], axis=1)
+        return geo, jnp.concatenate([r, g, b], axis=1)
     if not grid.packed_colors:
         return raw, raw[:, F_R : F_R + 3]
     # bitcast the WHOLE register block (a free reinterpret — slicing first
@@ -112,6 +210,13 @@ def _unpack_feats(raw, grid):
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
+
+
+def _pack_src(feats, grid):
+    """Feature-table encoding for the instance gather (see _num_feats)."""
+    if getattr(grid, "packed_feats16", False):
+        return _pack_feats16(feats, grid)
+    return _pack_color_feats(feats) if grid.packed_colors else feats
 
 
 # Column-split gather, DISABLED by default (threshold = never): feature
@@ -471,7 +576,7 @@ def composite_from_feats(feats, bins, grid: TileGrid):
     _pack_color_feats); the VJP still returns [N + 1, 16] f32 gradients
     (straight-through past the color rounding).
     """
-    src = _pack_color_feats(feats) if grid.packed_colors else feats
+    src = _pack_src(feats, grid)
     inst = _gather_rows(src, bins["inst_splat"])
     return _fwd_call(inst, bins["block_meta"], grid)
 
@@ -483,7 +588,7 @@ def _cff_fwd(feats, bins, grid):
             "forward_only=True: the viewer contract declares no backward. "
             "Render with forward_only=False to train."
         )
-    src = _pack_color_feats(feats) if grid.packed_colors else feats
+    src = _pack_src(feats, grid)
     inst = _gather_rows(src, bins["inst_splat"])
     out = _fwd_call(inst, bins["block_meta"], grid)
     # inst is saved as a residual: regathering it in the backward costs ~28 ms

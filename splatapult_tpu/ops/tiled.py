@@ -31,6 +31,7 @@ def _grid_from_config(config, num_splats: int) -> TileGrid:
         packed_colors=config.packed_colors,
         forward_only=config.forward_only,
         depth_bits=config.depth_bits,
+        packed_feats16=config.packed_feats16,
     )
 
 

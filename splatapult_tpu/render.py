@@ -126,6 +126,12 @@ class RenderConfig:
     # strips backward-supporting plumbing (the m_pos sort payload) from the
     # hot path. Attempting to differentiate a forward_only render raises.
     forward_only: bool = False
+    # quantize whole instance feature rows to 16 B (coarser than
+    # packed_colors: f16 conic/opacity, ~0.09 px means, 11/11/10-bit colors)
+    # so giant tables (5M+ splats) stay in the fast gather regime — the 5M
+    # feature gather is 3-4x slower above ~85-120 MB (PERF.md); intended to
+    # be enabled scale-conditionally (bench --packed-feats16 auto)
+    packed_feats16: bool = False
     # depth precision in the instance sort key: 32 = exact f32 ordering
     # (default), 16 = top-16-bit (bf16) depth packed with the tile id into
     # one sort key — one sort operand + one comparison key fewer; near-equal

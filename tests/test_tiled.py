@@ -330,6 +330,70 @@ def test_tiled_packed_colors_close_to_f32():
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-3, err_msg=name)
 
 
+def test_tiled_packed_feats16_bounded_error():
+    # packed_feats16 quantizes EVERY feature into 16 B rows (16-bit fixed
+    # means ~0.09 px at 1080p — much finer at this test's 64 px frame —
+    # f16 conic/ln-alpha, 11/11/10-bit colors). Coarser than packed_colors
+    # by design (it exists for the 5M gather regime); the bounds here are
+    # the committed error contract.
+    rng = np.random.default_rng(107)
+    scene = _random_scene(rng, n=48)
+    cam = _camera()
+    cfg_p = dataclasses.replace(TILED, packed_feats16=True)
+
+    img32 = np.asarray(render(scene, cam, TILED))
+    imgp = np.asarray(render(scene, cam, cfg_p))
+    diff = np.abs(imgp - img32)
+    # f16 conic (0.05% rel) + quantized means/colors; discard-boundary flips
+    # dominate the max
+    assert diff.max() < 0.05, diff.max()
+    assert diff.mean() < 2e-3, diff.mean()
+
+    target = jnp.asarray(rng.uniform(size=(64, 64, 4)), jnp.float32)
+
+    def loss(cfg):
+        return lambda s: jnp.mean((render(s, cam, cfg) - target) ** 2)
+
+    g32 = jax.grad(loss(TILED))(scene)
+    gp = jax.grad(loss(cfg_p))(scene)
+    for name in ("means", "sh", "opacities", "log_scales", "quats"):
+        a, b = np.asarray(getattr(gp, name)), np.asarray(getattr(g32, name))
+        assert np.isfinite(a).all(), name
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-2, err_msg=name)
+
+
+def test_packed_feats16_roundtrip_bounds():
+    # direct pack/unpack bounds at 1080p geometry (the regime it ships in)
+    from splatapult_tpu.ops.binning import TileGrid
+    from splatapult_tpu.ops.composite import (
+        NUM_FEATS, _pack_feats16, _unpack_feats)
+
+    grid = TileGrid.create(width=1920, height=1080, num_splats=64,
+                           tile_size=32, block=128, packed_feats16=True)
+    rng = np.random.default_rng(3)
+    feats = np.zeros((256, NUM_FEATS), np.float32)
+    feats[:, 0] = rng.uniform(-900, 2800, 256)      # mean_x in guard band
+    feats[:, 1] = rng.uniform(-1000, 2000, 256)     # mean_y
+    feats[:, 2] = rng.uniform(-1.7, 0.0, 256)       # qa
+    feats[:, 3] = rng.uniform(-3.3, 3.3, 256)       # qb
+    feats[:, 4] = rng.uniform(-1.7, 0.0, 256)       # qc
+    feats[:, 5] = rng.uniform(-85.0, 0.0, 256)      # ln_alpha
+    feats[:, 6:9] = rng.uniform(-3.5, 3.5, (256, 3))
+    packed = _pack_feats16(jnp.asarray(feats), grid)
+    assert packed.shape == (256, 4) and packed.dtype == jnp.int32
+    geo, col = _unpack_feats(jnp.asarray(packed), grid)
+    geo, col = np.asarray(geo), np.asarray(col)
+    assert np.abs(geo[:, 0] - feats[:, 0]).max() <= 3 * 1920 / 65536 * 0.51
+    assert np.abs(geo[:, 1] - feats[:, 1]).max() <= 3 * 1080 / 65536 * 0.51
+    for i in (2, 3, 4):  # f16: 2^-11 relative
+        np.testing.assert_allclose(geo[:, i], feats[:, i], rtol=6e-4, atol=1e-6)
+    np.testing.assert_allclose(geo[:, 5], feats[:, 5], rtol=6e-4)
+    assert np.abs(col[:, 0] - feats[:, 6]).max() <= 0.51 / 256
+    assert np.abs(col[:, 1] - feats[:, 7]).max() <= 0.51 / 256
+    assert np.abs(col[:, 2] - feats[:, 8]).max() <= 0.51 / 128
+
+
 def test_tiled_extent_tightening_lossless_low_opacity():
     # render.prepare_splats shrinks binning AABBs to the sqrt(2*ln(alpha /
     # cutoff))-sigma radius where the kernel's 1/256 discard can pass; splats
