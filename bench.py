@@ -200,10 +200,11 @@ def main():
     parser.add_argument("--tile-size", type=int, default=32)
     parser.add_argument("--tile-block", type=int, default=128)
     parser.add_argument(
-        "--depth-bits", type=int, default=0, choices=(0, 16, 32),
-        help="depth precision in the instance sort key (0 = auto: 16-bit "
-             "packed keys — the production profile for BOTH fwd-only and "
-             "fwd+bwd; pass 32 for exact f32 depth ordering)",
+        "--depth-bits", type=int, default=0, choices=(0, 16, 20, 32),
+        help="depth precision in the instance sort key (0 = auto: the 20-bit "
+             "packed key — one sort operand fewer at ~1.2e-4 relative depth "
+             "precision; 32 = exact f32 ordering; 16 = the bf16 key, demoted "
+             "after scene-scale image diffs, kept for A/B — PERF.md r4)",
     )
     # The bench's default profile is the production-training configuration:
     # two documented, test-covered precision knobs are ON (the library's
@@ -317,12 +318,14 @@ def _make_cameras(args, kind):
 def _make_config(args):
     from splatapult_tpu.render import RenderConfig
 
-    # production profile: 16-bit packed depth keys (one sort operand + one
-    # comparison key fewer; the reference's own radix sort quantizes depth
-    # far more coarsely, shader/presort_compute.glsl:52-53). Exact f32 depth
-    # ordering is one flag away (--depth-bits 32), like the other precision
-    # knobs. Measured: garden fwd+bwd 161.0 -> 157.6 ms (PERF.md round 3).
-    depth_bits = args.depth_bits or 16
+    # production profile: the 20-bit packed depth key (one sort operand +
+    # one comparison key fewer at ~1.2e-4 relative depth precision — finer
+    # than the reference's shipped 32-bit linear key for near content,
+    # shader/presort_compute.glsl:52-53). Exact f32 ordering is one flag
+    # away (--depth-bits 32). The round-3 bf16 (16-bit) key was demoted
+    # after scene-scale image evidence (tools/probe_depth16_image.py,
+    # PERF.md round 4).
+    depth_bits = args.depth_bits or 20
     pf16 = getattr(args, "packed_feats16", "off")
     packed16 = (pf16 == "on"
                 or (pf16 == "auto" and args.splats * 32 > 100_000_000))

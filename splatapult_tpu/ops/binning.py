@@ -86,14 +86,21 @@ class TileGrid:
     # pure contract marker: differentiating a forward_only composite raises.
     forward_only: bool = False
     # depth precision inside the instance sort key: 32 = full f32 depth bits
-    # (exact ordering; the default), 16 = the top 16 f32 bits (bf16 depth,
-    # ~0.4% relative precision) PACKED with the tile id into ONE int32 key —
-    # one sort operand and one comparison key fewer. The reference itself
-    # quantizes depth into its 32-bit radix keys (shader/presort_compute.
-    # glsl:52-53) far more coarsely near the far plane; splats whose depths
-    # agree through the top 16 bits order by the descending-index tie-break
-    # (the reference's submission-order semantics). Requires num_tiles < 2^15
-    # (any 1080p tile32 grid qualifies); falls back to 32 otherwise.
+    # as a separate key (exact ordering); 20 = the top 20 f32 bits (13-bit
+    # mantissa, ~1.2e-4 relative precision) PACKED with the tile id into ONE
+    # int32 key — one sort operand and one comparison key fewer, at scene-
+    # scale image diffs ~30x smaller than depth_bits=16's (PERF.md round 4:
+    # bf16 depth measured mean ~2-4e-3 / p99.9 ~0.12 abs image diff on the
+    # production scenes and was DEMOTED from default, echoing the
+    # reference's own 24-bit-key revert, src/splatrenderer.cpp:165-169);
+    # 16 = bf16 depth, kept as an opt-in A/B point. For reference scale:
+    # the reference ships a 32-bit LINEAR [0, far] radix key
+    # (shader/presort_compute.glsl:52-53) whose RELATIVE step at depth d is
+    # 2.3e-7*far/d — coarser than depth20 for anything nearer than ~far/500,
+    # finer beyond (where splats are subpixel anyway). depth20 requires
+    # num_tiles <= 2^11 (a 1080p tile32 grid = 2040 qualifies), 16 requires
+    # < 2^15; both fall back to 32 otherwise. Ties order by the descending-
+    # index tie-break (the reference's submission-order semantics).
     depth_bits: int = 32
     # quantize the WHOLE instance feature row into 4 int32 = 16 B (16-bit
     # fixed means, f16 conic + ln-alpha, 11/11/10-bit colors) so a 5M-splat
@@ -136,7 +143,7 @@ class TileGrid:
         assert block & (block - 1) == 0, "block must be a power of two"
         assert accum_dtype in ("float32", "bfloat16"), accum_dtype
         assert grad_sort_dtype in ("float32", "bfloat16"), grad_sort_dtype
-        assert depth_bits in (16, 32), depth_bits
+        assert depth_bits in (16, 20, 32), depth_bits
         emax = max(4096, -(-int(max_instance_mult * max(num_splats, 1)) // 4096) * 4096)
         tiles = (-(-width // tile_size)) * (-(-height // tile_size))
         mcap = emax + tiles * block  # worst-case alignment padding: < block per tile
@@ -765,19 +772,27 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
             dep_enum = jnp.take(
                 jnp.concatenate([depth_bits, jnp.full((1,), imax, jnp.int32)]), s
             )
-        if grid.depth_bits == 16 and num_tiles < (1 << 15):
-            # ONE packed key (tile << 16 | top-16 depth bits): tile always
-            # dominates; bf16-precision depth within the tile; ties fall to
-            # the -s key (reference submission-order parity). Real depths
-            # occupy [0, 0x7F80] of the low half, so the 0xFFFF pad/sentinel
-            # depth sorts strictly after every real instance of its tile.
-            key = (tile << 16) | jnp.where(
-                valid_m, (dep_enum >> 16) & 0xFFFF, 0xFFFF
+        packed_bits = 0
+        if grid.depth_bits == 20 and num_tiles <= (1 << 11):
+            packed_bits = 20  # (tile << 20 | top-20 f32 depth bits): 31-bit
+            # key, 13-bit-mantissa depth (~1.2e-4 relative). Real depth codes
+            # are <= 0x7F800000 >> 11 = 0xFF000 < 0xFFFFF, so the pad/
+            # sentinel code sorts strictly after every real instance.
+        elif grid.depth_bits == 16 and num_tiles < (1 << 15):
+            packed_bits = 16  # (tile << 16 | bf16 depth): opt-in A/B point
+        if packed_bits:
+            b_ = packed_bits
+            # 16: bits [31:16] (the round-3 bf16 semantic, unchanged);
+            # 20: bits [30:11] (sign bit is always 0 for nonneg depths)
+            shift = 16 if b_ == 16 else 11
+            sentd = (1 << b_) - 1
+            key = (tile << b_) | jnp.where(
+                valid_m, (dep_enum >> shift) & sentd, sentd
             )
-            key_all = jnp.concatenate([key, (pad_tile << 16) | 0xFFFF])
+            key_all = jnp.concatenate([key, (pad_tile << b_) | sentd])
             ops = (key_all, -s_all) + (() if m_all is None else (m_all,))
             res = lax.sort(ops, num_keys=2, is_stable=False)
-            tile_sorted, inst_splat = res[0] >> 16, -res[1]
+            tile_sorted, inst_splat = res[0] >> b_, -res[1]
             m_pos = res[2] if m_all is not None else None
         else:
             dep_all = jnp.concatenate(

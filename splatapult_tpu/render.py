@@ -133,10 +133,12 @@ class RenderConfig:
     # be enabled scale-conditionally (bench --packed-feats16 auto)
     packed_feats16: bool = False
     # depth precision in the instance sort key: 32 = exact f32 ordering
-    # (default), 16 = top-16-bit (bf16) depth packed with the tile id into
-    # one sort key — one sort operand + one comparison key fewer; near-equal
-    # depths (<~0.4% apart) fall to the reference's submission-order
-    # tie-break. See ops/binning.TileGrid.depth_bits.
+    # (default), 20 = top-20 f32 bits packed with the tile id into ONE sort
+    # key (~1.2e-4 relative depth; one sort operand + one comparison key
+    # fewer; needs num_tiles <= 2048), 16 = the coarser bf16 variant
+    # (demoted from the bench default after scene-scale image diffs,
+    # PERF.md round 4). Near-equal depths fall to the reference's
+    # submission-order tie-break. See ops/binning.TileGrid.depth_bits.
     depth_bits: int = 32
 
 

@@ -683,6 +683,63 @@ def test_depth16_infeasible_tile_count_falls_back_exact():
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
+def test_depth20_matches_emulated_order(rng):
+    """The packed (tile << 20 | 20-bit depth) key must order instances exactly
+    like a numpy emulation of (tile, depth_bits>>11, -splat)."""
+    import splatapult_tpu.ops.binning as B
+
+    grid = TileGrid.create(width=64, height=64, num_splats=48, tile_size=16,
+                           block=8, max_instance_mult=20, depth_bits=20)
+    mean2d = jnp.asarray(rng.uniform(0, 64, (48, 2)), jnp.float32)
+    ext = jnp.asarray(rng.uniform(1.0, 10.0, (48, 2)), jnp.float32)
+    base = rng.uniform(0.5, 30.0, (48,)).astype(np.float32)
+    base[::4] = base[1::4] * (1.0 + 1e-7)  # sub-quantum separation -> ties
+    depth = jnp.asarray(base)
+    bins = bin_splats(mean2d, ext, grid, depth=depth)
+    inst = np.asarray(bins["inst_splat"])
+
+    x0, r0, nx, ny, cnt = jax.tree.map(
+        np.asarray, B._tile_rects(mean2d, ext, grid))
+    dbits = np.asarray(depth, np.float32).view(np.int32)
+    rows = []
+    for s in range(48):
+        for j in range(cnt[s]):
+            t = (r0[s] + j // nx[s]) * grid.tiles_x + (x0[s] + j % nx[s])
+            rows.append((t, (dbits[s] >> 11) & 0xFFFFF, -s, s))
+    rows.sort()
+    want = np.asarray([r[3] for r in rows])
+    got = inst[inst < 48]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_depth20_image_matches_depth32_when_separated():
+    """With depths distinct at the 13-bit-mantissa granularity the 20-bit key
+    ordering equals the exact ordering: bit-identical image."""
+    scene = make_debug_scene()
+    cam = _camera()
+    a = np.asarray(render(scene, cam, TILED))
+    b = np.asarray(render(scene, cam, dataclasses.replace(TILED, depth_bits=20)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_depth20_infeasible_tile_count_falls_back_exact():
+    """num_tiles > 2^11 cannot pack into the 31-bit key; the sort silently
+    uses the exact 32-bit path."""
+    # 4K x 2K at tile 32 -> 128 * 64 = 8192 tiles > 2048
+    g20 = TileGrid.create(width=4096, height=2048, num_splats=4, tile_size=32,
+                          block=8, depth_bits=20)
+    g32 = dataclasses.replace(g20, depth_bits=32)
+    assert g20.num_tiles == 8192
+    mean2d = jnp.asarray([[8.0, 8.0], [100.0, 700.0], [2000.0, 1000.0],
+                          [100.0, 700.0]], jnp.float32)
+    ext = jnp.full((4, 2), 30.0)
+    depth = jnp.asarray([3.0, 1.0, 2.0, 1.0 + 1e-7])
+    a = jax.tree.map(np.asarray, bin_splats(mean2d, ext, g20, depth=depth))
+    b = jax.tree.map(np.asarray, bin_splats(mean2d, ext, g32, depth=depth))
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 def test_binning_all_kept_identity_fast_path(monkeypatch, rng):
     """With nothing culled the compaction cond takes its identity branch;
     results must equal the scatter+cummax fallback bit-exactly."""

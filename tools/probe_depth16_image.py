@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--save-png", action="store_true",
                     help="write the depth16/depth32 pair + diff to tools/out_*")
     ap.add_argument("--splats", type=int, default=0, help="0 = both scenes")
+    ap.add_argument("--bits", type=int, default=16, choices=(16, 20),
+                    help="packed-key variant to diff against exact depth 32")
     args = ap.parse_args()
 
     import dataclasses
@@ -55,19 +57,19 @@ def main():
                            forward_only=True, early_stop_eps=1e-4)
         cfg = calibrate_config(scene, cam, cfg, bucket=1.0)
         imgs = {}
-        for bits in (32, 16):
+        for bits in (32, args.bits):
             c = dataclasses.replace(cfg, depth_bits=bits)
             imgs[bits] = np.asarray(render(scene, cam, c))
-        d = np.abs(imgs[16].astype(np.float64) - imgs[32].astype(np.float64))
+        d = np.abs(imgs[args.bits].astype(np.float64) - imgs[32].astype(np.float64))
         n_diff = int((d.max(axis=-1) > 1e-6).sum())
-        print(f"{kind} {n} 1080p depth16-vs-32: max {d.max():.3e} "
+        print(f"{kind} {n} 1080p depth{args.bits}-vs-32: max {d.max():.3e} "
               f"mean {d.mean():.3e} p99.9 {np.quantile(d, 0.999):.3e} "
               f"pixels-differing {n_diff} "
               f"({100.0 * n_diff / (1920 * 1080):.4f}%)", flush=True)
         if args.save_png:
             from splatapult_tpu.utils.image import save_png
 
-            for bits in (16, 32):
+            for bits in (args.bits, 32):
                 save_png(f"tools/out_{kind}_depth{bits}.png", imgs[bits])
             amp = np.clip(d[..., :3] * 100.0, 0.0, 1.0).astype(np.float32)
             save_png(f"tools/out_{kind}_depthdiff_x100.png",

@@ -31,7 +31,7 @@ def main():
     parser.add_argument("--early-stop", type=float, default=1e-4)
     parser.add_argument("--fwd-only", action="store_true",
                         help="profile the viewer configuration")
-    parser.add_argument("--depth-bits", type=int, default=0, choices=(0, 16, 32))
+    parser.add_argument("--depth-bits", type=int, default=0, choices=(0, 16, 20, 32))
     parser.add_argument(
         "--phases", type=str,
         default="prepare,bin,fwd,fwd_bwd",
@@ -73,7 +73,7 @@ def main():
         max_instance_mult=args.instance_mult, early_stop_eps=args.early_stop,
         grad_sort_dtype="bfloat16", packed_colors=True,
         forward_only=args.fwd_only,
-        depth_bits=args.depth_bits or 16,  # matches bench.py: 16 is the production default
+        depth_bits=args.depth_bits or 20,  # matches bench.py: 20 is the production default
     )
     if args.instance_mult <= 0.0:
         from splatapult_tpu.render import calibrate_config
