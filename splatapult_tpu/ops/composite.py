@@ -500,7 +500,22 @@ def _bwd_kernel(grid: TileGrid, meta_ref, inst_ref, basis_ref,
         dcols_ref[:, :] = jnp.zeros((NUM_GRAD_COLS, b), jnp.float32)
 
 
+_SMEM_BYTES = 1 << 20  # v5e scalar-memory budget for the prefetch operand
+
+
+def _check_smem(grid: TileGrid):
+    need = grid.num_blocks * 4
+    if not _interpret() and need > _SMEM_BYTES - 64 * 1024:
+        raise ValueError(
+            f"instance capacity too large: the kernels' block_meta scalar-"
+            f"prefetch operand ({grid.num_blocks} blocks = {need} B) exceeds "
+            f"the ~1 MB SMEM budget. Use calibrate_config (demand-fit "
+            f"capacity) or a smaller max_instance_mult."
+        )
+
+
 def _fwd_call(inst, block_meta, grid: TileGrid):
+    _check_smem(grid)
     p = grid.tile_pixels
     kernel = functools.partial(_fwd_kernel, grid)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -46,9 +46,21 @@ def main():
         pass
 
     scene = jax.tree.map(jnp.asarray, bench.make_scene(args.splats))
-    ns = argparse.Namespace(views=args.views, width=1920, height=1080)
-    cams = bench._make_cameras(ns, "ball")
-    # the bench path circles the ball; consecutive views are the cluster
+    # a TIGHT camera path (consecutive views ~1.1 deg apart — the config-4
+    # workload where clusters overlap; bench --views spreads its cameras
+    # uniformly around the full circle, which is NOT a path)
+    from splatapult_tpu.core import transforms as T
+    from splatapult_tpu.render import Camera
+
+    cs = [
+        Camera.from_fov(
+            T.look_at(eye=[np.cos(a) * 4.5, 0.8, np.sin(a) * 4.5],
+                      target=[0, 0, 0], up=[0, 1, 0]),
+            fovy=np.pi / 4, width=1920, height=1080)
+        for a in (0.3 + 0.02 * i for i in range(args.views))
+    ]
+    cams = Camera(cam_to_world=jnp.stack([c.cam_to_world for c in cs]),
+                  proj=jnp.stack([c.proj for c in cs]))
     cfg = RenderConfig(width=1920, height=1080, pipeline="tiled",
                        depth_bits=16, packed_colors=True,
                        grad_sort_dtype="bfloat16", early_stop_eps=1e-4,
