@@ -148,10 +148,14 @@ def cmd_render(args):
         # 603-607) — see splatapult_tpu/stereo.py for the exactness argument
         if args.show_cameras:
             log.warning("--show-cameras is not drawn on --stereo renders")
-        # render_stereo hardcodes the tiled pipeline and has no supersample
-        # resolve; honor --pipeline global / --supersample by falling back to
-        # the per-eye batch path (2x the binning cost, every flag respected)
-        shared_ok = args.supersample == 1 and (
+        # Default: per-eye rendering. Shared union binning (the lift of the
+        # reference's sort-once-render-twice trick) measured SLOWER than
+        # per-eye on the real chip once the timing chain was DCE-proofed
+        # (2.19x vs 2.02x a single view at 1M/1080p — the union rects
+        # inflate the instance capacity ~45% and every capacity-
+        # proportional cost with it; PERF.md round 4 erratum). It remains
+        # available (exactness-tested) behind --shared-bins.
+        shared_ok = args.shared_bins and args.supersample == 1 and (
             args.pipeline == "tiled"
             or (args.pipeline == "auto" and scene.num_gaussians >= 4096)
         )
@@ -162,8 +166,9 @@ def cmd_render(args):
             cfg = calibrate_config_stereo(scene, cam, cfg, args.ipd)
             pair = render_stereo(scene, cam, cfg, args.ipd)
         else:
-            log.info("stereo: per-eye render path (shared binning needs the "
-                     "tiled pipeline and supersample 1)")
+            if args.shared_bins:
+                log.info("stereo: per-eye render path (shared binning needs "
+                         "the tiled pipeline and supersample 1)")
             from splatapult_tpu.render import render_batch
 
             pair = render_batch(scene, cam.stereo_pair(args.ipd), cfg)
@@ -359,6 +364,10 @@ def main(argv=None):
                         "analog, ref src/xrbuddy.cpp:1689-1800)")
     p.add_argument("--ipd", type=float, default=0.064,
                    help="interpupillary distance in meters for --stereo")
+    p.add_argument("--shared-bins", action="store_true",
+                   help="bin once for both eyes (stereo.render_stereo; "
+                        "exact, but measured slower than per-eye on v5e — "
+                        "PERF.md round 4)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("path", help="render every cameras.json view")

@@ -1,13 +1,23 @@
 """Camera-path rendering with SHARED tile binning across view clusters.
 
-stereo.render_stereo proved the machinery for view PAIRS: bin once over the
+stereo.render_stereo built the machinery for view PAIRS: bin once over the
 union of both views' lossless tile rects with a shared depth, composite each
-view with its own exact features (1.09x one view for the pair, PERF.md r3).
-This module generalizes it to the camera-path workload (BASELINE config 4;
-the reference's `n`/`p` camera cycling, ref: src/app.cpp:650-674): a path's
-consecutive views are near-coincident, so K-view clusters share ONE binning
-— the dominant resolution-independent per-view cost — the way the reference
-shares its per-frame sort across the stereo pair (ref: src/app.cpp:603-607).
+view with its own exact features. This module generalizes it to the
+camera-path workload (BASELINE config 4; the reference's `n`/`p` camera
+cycling, ref: src/app.cpp:650-674), the way the reference shares its
+per-frame sort across the stereo pair (ref: src/app.cpp:603-607).
+
+PERF STATUS (round 4, tools/probe_cluster.py on a 1.1-degree-step path at
+1M/1080p, DCE-proof): shared binning measured SLOWER than per-view in both
+profiles — fwd+bwd 107.6 ms/view per-view vs 118.8 (k=2) / 141.2 (k=4);
+fwd-only 42.5 vs 56.7 / 69.6. The union rects inflate the instance
+capacity (+13% at k=2, +41% at k=4) and every capacity-proportional cost
+(gather, kernel grids, backward) for EVERY view, which outweighs the one
+shared binning (~13 of ~100 ms). A documented measured negative (VERDICT
+r3 item 4's alternative outcome): the reference's shared GLOBAL sort does
+not lift profitably to a tile-binned pipeline, for clusters or for stereo
+(see stereo.py). The machinery stays: exactness-tested, and the gate/
+calibration are correct for anyone who wants the memory shape.
 
 Exactness differs from stereo, and the difference is explicit:
 

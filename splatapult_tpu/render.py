@@ -75,10 +75,13 @@ class Camera:
     def stereo_pair(self, ipd: float = 0.064) -> "Camera":
         """[2]-batched left/right eye cameras offset along +X by the
         interpupillary distance — the batched analog of the reference's
-        OpenXR stereo views (ref: src/xrbuddy.cpp:1689-1800). Prefer
-        stereo.render_stereo, which bins ONCE for both eyes the way the
-        reference shares its per-frame sort (ref: src/app.cpp:603-607) —
-        a pair costs 1.09x one view vs 2.0x through render_batch."""
+        OpenXR stereo views (ref: src/xrbuddy.cpp:1689-1800). Per-eye
+        rendering through render_batch is the FAST path on TPU;
+        stereo.render_stereo (one shared binning, the lift of the
+        reference's shared per-frame sort, src/app.cpp:603-607) is exact
+        but measured slower — the union rects inflate the instance
+        capacity ~45% and every capacity-proportional cost with it
+        (PERF.md round 4 erratum)."""
         offsets = jnp.asarray([-ipd / 2.0, ipd / 2.0], jnp.float32)
         right_axis = self.cam_to_world[:3, 0]
         mats = jnp.stack([

@@ -1,12 +1,22 @@
 """Stereo rendering with SHARED tile binning.
 
 The reference sorts once per frame and renders both eyes from the same sorted
-order (ref: src/app.cpp:603-607). The TPU analog shares the *binning* — the
-instance sort machinery is the dominant resolution-independent per-view cost
-(~40 ms at 1M splats vs ~2x that for a full second view, PERF.md) — by
-binning once over the UNION of the two eyes' tile rects with the shared
-view depth, then compositing each eye through the same instance lists with
-its own exact per-eye features.
+order (ref: src/app.cpp:603-607). The TPU analog shares the *binning*: bin
+once over the UNION of the two eyes' tile rects with the shared view depth,
+then composite each eye through the same instance lists with its own exact
+per-eye features.
+
+PERF STATUS (round 4): measured SLOWER than per-eye rendering on v5e —
+2.19x a single view for the pair vs 2.02x per-eye at 1M/1080p fwd-only
+(tools/probe_stereo.py after its timing chain was made DCE-proof; the
+round-3 "1.09x" claim was a measurement artifact — XLA dead-code-
+eliminated the second eye's composite behind a one-pixel readback). The
+union rects inflate the instance capacity ~45% (2.49 vs 1.72 inst/splat)
+and the capacity-proportional costs — binning, gather, BOTH eyes' kernel
+grids — outweigh the one shared binning. The reference's trick works for
+its GLOBAL depth sort; on a tile-binned pipeline the "shared" structure
+is capacity-coupled. Kept as an exactness-tested capability; the CLI and
+the perf-recommended path render per-eye.
 
 Why this is exact (with the default alpha cutoff), not an approximation:
 

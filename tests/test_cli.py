@@ -155,8 +155,8 @@ def test_cli_render_stereo_shared_bins(tmp_path, test_ply_path):
     out = str(tmp_path / "stereo.png")
     main([
         "render", test_ply_path, "-o", out, "--width", "32", "--height", "32",
-        "--eye", "0", "0.5", "2.5", "--stereo", "--pipeline", "tiled",
-        "--no-floor",
+        "--eye", "0", "0.5", "2.5", "--stereo", "--shared-bins",
+        "--pipeline", "tiled", "--no-floor",
     ])
     img = load_png(out)
     assert img.shape == (32, 64, 3)  # L/R side by side

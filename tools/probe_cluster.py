@@ -98,7 +98,9 @@ def main():
                                   opacities=scene.opacities,
                                   log_scales=scene.log_scales,
                                   quats=scene.quats))
-                return jnp.ravel(img)[0] * 1e-30
+                # DCE-proof: touch EVERY view (python-stacked views are
+                # separate pallas calls XLA happily drops if unconsumed)
+                return jnp.sum(img[:, ::293, ::293, 0]) * 1e-30
             return f
 
         def loss(s):

@@ -81,20 +81,23 @@ def main():
         img = render(type(s)(means=s.means + c * 0.0, sh=s.sh,
                              opacities=s.opacities, log_scales=s.log_scales,
                              quats=s.quats), cam, cfg)
-        return jnp.ravel(img)[0] * 1e-30
+        return jnp.sum(img[::293, ::293, 0]) * 1e-30
 
     def per_eye(c, s):
         s2 = type(s)(means=s.means + c * 0.0, sh=s.sh, opacities=s.opacities,
                      log_scales=s.log_scales, quats=s.quats)
         a = render(s2, left, cfg)
         b = render(s2, right, cfg)
-        return (jnp.ravel(a)[0] + jnp.ravel(b)[0]) * 1e-30
+        return (jnp.sum(a[::293, ::293, 0]) + jnp.sum(b[::293, ::293, 0])) * 1e-30
 
     def shared(c, s):
         s2 = type(s)(means=s.means + c * 0.0, sh=s.sh, opacities=s.opacities,
                      log_scales=s.log_scales, quats=s.quats)
         p = render_stereo(s2, cam, cfg, 0.064)
-        return jnp.ravel(p)[0] * 1e-30
+        # DCE-proof: touch BOTH eyes — the eyes are separate pallas calls
+        # and reading only p[0...] lets XLA drop the second eye entirely
+        # (this exact bug inflated the round-3 "1.09x" headline)
+        return jnp.sum(p[:, ::293, ::293, 0]) * 1e-30
 
     t1 = timed("single view (fwd-only)", single, scene)
     t2 = timed("stereo per-eye (2x render)", per_eye, scene)
