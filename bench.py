@@ -202,7 +202,7 @@ def main():
     parser.add_argument(
         "--depth-bits", type=int, default=0, choices=(0, 16, 20, 32),
         help="depth precision in the instance sort key (0 = auto: the 20-bit "
-             "packed key — one sort operand fewer at ~1.2e-4 relative depth "
+             "packed key — one sort operand fewer at ~2.4e-4 relative depth "
              "precision; 32 = exact f32 ordering; 16 = the bf16 key, demoted "
              "after scene-scale image diffs, kept for A/B — PERF.md r4)",
     )
@@ -319,7 +319,7 @@ def _make_config(args):
     from splatapult_tpu.render import RenderConfig
 
     # production profile: the 20-bit packed depth key (one sort operand +
-    # one comparison key fewer at ~1.2e-4 relative depth precision — finer
+    # one comparison key fewer at ~2.4e-4 relative depth precision — finer
     # than the reference's shipped 32-bit linear key for near content,
     # shader/presort_compute.glsl:52-53). Exact f32 ordering is one flag
     # away (--depth-bits 32). The round-3 bf16 (16-bit) key was demoted

@@ -86,8 +86,9 @@ class TileGrid:
     # pure contract marker: differentiating a forward_only composite raises.
     forward_only: bool = False
     # depth precision inside the instance sort key: 32 = full f32 depth bits
-    # as a separate key (exact ordering); 20 = the top 20 f32 bits (13-bit
-    # mantissa, ~1.2e-4 relative precision) PACKED with the tile id into ONE
+    # as a separate key (exact ordering); 20 = the top 20 f32 bits (8 exponent
+    # + 12 explicit mantissa bits, relative step ~2.4e-4) PACKED with the tile
+    # id into ONE
     # int32 key — one sort operand and one comparison key fewer, at scene-
     # scale image diffs ~30x smaller than depth_bits=16's (PERF.md round 4:
     # bf16 depth measured mean ~2-4e-3 / p99.9 ~0.12 abs image diff on the
@@ -98,7 +99,8 @@ class TileGrid:
     # (shader/presort_compute.glsl:52-53) whose RELATIVE step at depth d is
     # 2.3e-7*far/d — coarser than depth20 for anything nearer than ~far/500,
     # finer beyond (where splats are subpixel anyway). depth20 requires
-    # num_tiles <= 2^11 (a 1080p tile32 grid = 2040 qualifies), 16 requires
+    # num_tiles < 2^11 (a 1080p tile32 grid = 2040 qualifies; the sentinel
+    # key num_tiles << 20 | 0xFFFFF must fit int32), 16 requires
     # < 2^15; both fall back to 32 otherwise. Ties order by the descending-
     # index tie-break (the reference's submission-order semantics).
     depth_bits: int = 32
@@ -773,11 +775,16 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None):
                 jnp.concatenate([depth_bits, jnp.full((1,), imax, jnp.int32)]), s
             )
         packed_bits = 0
-        if grid.depth_bits == 20 and num_tiles <= (1 << 11):
+        if grid.depth_bits == 20 and num_tiles < (1 << 11):
+            # STRICT <: the sentinel/pad key is (num_tiles << 20) | 0xFFFFF,
+            # which must stay <= INT32_MAX, i.e. num_tiles <= 2047. At exactly
+            # 2048 tiles the sentinel key would wrap the int32 sign bit and
+            # sort BEFORE every real instance (silent corruption).
             packed_bits = 20  # (tile << 20 | top-20 f32 depth bits): 31-bit
-            # key, 13-bit-mantissa depth (~1.2e-4 relative). Real depth codes
-            # are <= 0x7F800000 >> 11 = 0xFF000 < 0xFFFFF, so the pad/
-            # sentinel code sorts strictly after every real instance.
+            # key, 12-explicit-mantissa-bit depth (relative step ~2.4e-4).
+            # Real depth codes are <= 0x7F800000 >> 11 = 0xFF000 < 0xFFFFF,
+            # so the pad/sentinel code sorts strictly after every real
+            # instance.
         elif grid.depth_bits == 16 and num_tiles < (1 << 15):
             packed_bits = 16  # (tile << 16 | bf16 depth): opt-in A/B point
         if packed_bits:

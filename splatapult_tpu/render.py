@@ -137,8 +137,10 @@ class RenderConfig:
     packed_feats16: bool = False
     # depth precision in the instance sort key: 32 = exact f32 ordering
     # (default), 20 = top-20 f32 bits packed with the tile id into ONE sort
-    # key (~1.2e-4 relative depth; one sort operand + one comparison key
-    # fewer; needs num_tiles <= 2048), 16 = the coarser bf16 variant
+    # key (12 explicit mantissa bits, ~2.4e-4 relative depth; one sort
+    # operand + one comparison key fewer; needs num_tiles < 2048 — at
+    # 2048+ the packed sentinel key would overflow int32, so it falls back
+    # to exact with a log line), 16 = the coarser bf16 variant
     # (demoted from the bench default after scene-scale image diffs,
     # PERF.md round 4). Near-equal depths fall to the reference's
     # submission-order tie-break. See ops/binning.TileGrid.depth_bits.

@@ -92,8 +92,12 @@ def test_cluster_inplane_matches_per_view_exactly(rng):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
-def test_cluster_path_views_bounded_error(rng):
-    scene = _random_scene(rng, n=96)
+def test_cluster_path_views_bounded_error():
+    # OWN deterministic generator (not the shared session rng): the committed
+    # error contract below is scene-dependent, and the shared fixture makes
+    # the drawn scene depend on which tests ran first in the session
+    # (ADVICE r4: passes alone, fails after test_tiled/test_render).
+    scene = _random_scene(np.random.default_rng(1234), n=96)
     cams = _path_cluster(k=4, dt=0.04)
     want = _per_view(scene, cams, CFG)
     got = np.asarray(render_cluster(scene, cams, CFG))

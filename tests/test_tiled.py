@@ -722,6 +722,27 @@ def test_depth20_image_matches_depth32_when_separated():
     np.testing.assert_array_equal(a, b)
 
 
+def test_depth20_boundary_2048_tiles_falls_back_exact():
+    """At EXACTLY 2048 tiles the packed sentinel key (num_tiles << 20 |
+    0xFFFFF) would overflow the int32 sign bit and sort pads/sentinels BEFORE
+    every real instance (ADVICE r4, high). The gate must be strict <, so a
+    2048-tile grid takes the exact path and matches depth_bits=32 bit-exactly.
+    """
+    # 1024 x 512 at tile 16 -> 64 * 32 = exactly 2048 tiles
+    g20 = TileGrid.create(width=1024, height=512, num_splats=4, tile_size=16,
+                          block=8, depth_bits=20)
+    g32 = dataclasses.replace(g20, depth_bits=32)
+    assert g20.num_tiles == 2048
+    mean2d = jnp.asarray([[8.0, 8.0], [100.0, 400.0], [900.0, 300.0],
+                          [100.0, 400.0]], jnp.float32)
+    ext = jnp.full((4, 2), 30.0)
+    depth = jnp.asarray([3.0, 1.0, 2.0, 1.0 + 1e-7])
+    a = jax.tree.map(np.asarray, bin_splats(mean2d, ext, g20, depth=depth))
+    b = jax.tree.map(np.asarray, bin_splats(mean2d, ext, g32, depth=depth))
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 def test_depth20_infeasible_tile_count_falls_back_exact():
     """num_tiles > 2^11 cannot pack into the 31-bit key; the sort silently
     uses the exact 32-bit path."""
