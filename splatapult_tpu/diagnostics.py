@@ -21,7 +21,7 @@ def render_stats(scene, camera, config):
     truncation pass silently — SURVEY.md section 7 hard parts)."""
     import jax.numpy as jnp
 
-    from splatapult_tpu.ops.binning import bin_splats
+    from splatapult_tpu.ops.binning import bin_splats, sort_key_mode
     from splatapult_tpu.ops.tiled import _grid_from_config
     from splatapult_tpu.render import prepare_splats
 
@@ -51,6 +51,10 @@ def render_stats(scene, camera, config):
         "max_tile_instances": int(tile_count.max()),
         "mean_tile_instances": float(tile_count.mean()),
         "empty_tiles": int((tile_count == 0).sum()),
+        # the ACTIVE instance-sort key mode (a packed depth key silently
+        # falls back to "exact32" past its tile-count budget; the reference
+        # prints its sort-path choice at init, src/splatrenderer.cpp:86-103)
+        "sort_key_mode": sort_key_mode(grid),
     }
 
 

@@ -16,7 +16,7 @@ from splatapult_tpu.ops.binning import TileGrid, bin_splats
 from splatapult_tpu.ops.composite import NULL_LN_ALPHA, NUM_FEATS, composite_from_feats
 
 
-def _grid_from_config(config, num_splats: int) -> TileGrid:
+def _grid_from_config(config, num_splats: int, row_stride: int = 1) -> TileGrid:
     return TileGrid.create(
         width=config.width,
         height=config.height,
@@ -32,6 +32,7 @@ def _grid_from_config(config, num_splats: int) -> TileGrid:
         forward_only=config.forward_only,
         depth_bits=config.depth_bits,
         packed_feats16=config.packed_feats16,
+        row_stride=row_stride,
     )
 
 

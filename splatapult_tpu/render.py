@@ -72,7 +72,8 @@ class Camera:
     def eye(self) -> jax.Array:
         return self.cam_to_world[..., :3, 3]
 
-    def stereo_pair(self, ipd: float = 0.064) -> "Camera":
+    def stereo_pair(self, ipd: float = 0.064, tan_angles=None,
+                    near: float = 0.1, far: float = 1000.0) -> "Camera":
         """[2]-batched left/right eye cameras offset along +X by the
         interpupillary distance — the batched analog of the reference's
         OpenXR stereo views (ref: src/xrbuddy.cpp:1689-1800). Per-eye
@@ -81,13 +82,37 @@ class Camera:
         reference's shared per-frame sort, src/app.cpp:603-607) is exact
         but measured slower — the union rects inflate the instance
         capacity ~45% and every capacity-proportional cost with it
-        (PERF.md round 4 erratum)."""
+        (PERF.md round 4 erratum).
+
+        tan_angles: optional [2, 4] per-eye asymmetric frustum tangents
+        (tan_left, tan_right, tan_up, tan_down — tan_left/tan_down
+        negative for a frustum crossing the axis), the values an HMD
+        runtime reports per eye (ref: src/xrbuddy.cpp:1802-1832 feeding
+        util.cpp:412-480). Each eye then gets its own
+        projection_from_tan_angles(near, far) projection; None keeps
+        today's symmetric behavior (this camera's proj duplicated).
+        far <= near places the far plane at infinity, as the reference's
+        CreateProjection does."""
         offsets = jnp.asarray([-ipd / 2.0, ipd / 2.0], jnp.float32)
         right_axis = self.cam_to_world[:3, 0]
         mats = jnp.stack([
             self.cam_to_world.at[:3, 3].add(o * right_axis) for o in offsets
         ])
-        return Camera(cam_to_world=mats, proj=jnp.stack([self.proj, self.proj]))
+        if tan_angles is None:
+            proj = jnp.stack([self.proj, self.proj])
+        else:
+            import numpy as _np
+
+            ta = _np.asarray(tan_angles, _np.float32)
+            assert ta.shape == (2, 4), (
+                f"tan_angles must be [2, 4] (per-eye l, r, u, d), got {ta.shape}")
+            proj = jnp.stack([
+                transforms.projection_from_tan_angles(
+                    float(ta[e, 0]), float(ta[e, 1]), float(ta[e, 2]),
+                    float(ta[e, 3]), near, far)
+                for e in range(2)
+            ])
+        return Camera(cam_to_world=mats, proj=proj)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -147,6 +172,34 @@ class RenderConfig:
     depth_bits: int = 32
 
 
+# The TWO documented benchmark profiles (VERDICT r4 weak #4: cli bench and
+# bench.py silently measured different configurations). "exact" is the
+# library default (exact f32 everywhere); "production" is bench.py's
+# training profile — each knob's error contract is tested and committed
+# (PERF.md). packed_feats16 is intentionally NOT part of a profile: it is
+# scale-conditional (engages above ~3.1M splats / 100 MB tables).
+PROFILES = {
+    "exact": dict(depth_bits=32, packed_colors=False, early_stop_eps=0.0,
+                  grad_sort_dtype="float32"),
+    "production": dict(depth_bits=20, packed_colors=True, early_stop_eps=1e-4,
+                       grad_sort_dtype="bfloat16"),
+}
+
+
+def apply_profile(config: "RenderConfig", profile: str) -> "RenderConfig":
+    """Overlay a named benchmark profile's precision knobs onto a config."""
+    return dataclasses.replace(config, **PROFILES[profile])
+
+
+def profile_name(config: "RenderConfig") -> str:
+    """Classify a config's precision knobs -> "exact" | "production" |
+    "custom" (for tagging benchmark JSON output)."""
+    for name, knobs in PROFILES.items():
+        if all(getattr(config, k) == v for k, v in knobs.items()):
+            return name
+    return "custom"
+
+
 @jax.custom_vjp
 def _permute_rows(x, order, inv_order):
     """Row permutation with a gather-based transpose.
@@ -193,6 +246,11 @@ def prepare_splats(scene: GaussianScene, camera: Camera, config: RenderConfig,
     rgb = eval_sh_radiance(scene.sh, view_dirs(means, camera.eye), config.sh_degree)
     if config.srgb_radiance_to_linear:
         rgb = transforms.srgb_to_linear(rgb)
+    # zero masked splats' colors: a culled splat contributes nothing either
+    # way, but a NaN radiance (e.g. a NaN position in a real-world capture
+    # propagating through the SH view direction) would otherwise poison the
+    # global composite's color matmul as 0 * NaN even at zero weight
+    rgb = jnp.where(proj.mask[:, None], rgb, 0.0)
 
     alpha_eff = jnp.where(proj.mask, alpha, 0.0)
     extent = proj.extent

@@ -22,6 +22,9 @@ def test_bench_mesh_harness_runs_on_virtual_mesh(capsys, allreduce):
     args = argparse.Namespace(
         mesh=4, views=2, width=64, height=64, iters=2, verbose=False,
         allreduce=allreduce,
+        # instance_mult 0 exercises the round-5 band-aware calibration of
+        # the sharded arm (calibrate_config_sharded)
+        instance_mult=0.0, shard_prepare=True,
     )
     scene = bench.make_scene(512, seed=0)
     config = RenderConfig(
@@ -36,6 +39,8 @@ def test_bench_mesh_harness_runs_on_virtual_mesh(capsys, allreduce):
     assert np.isfinite(rec["value"]) and rec["value"] > 0
     assert np.isfinite(rec["rate_1chip_px_s"]) and rec["rate_1chip_px_s"] > 0
     assert np.isfinite(rec["rate_4chip_px_s"]) and rec["rate_4chip_px_s"] > 0
+    # the sharded arm band-calibrated its capacity below the 1-chip config's
+    assert rec["instance_mult_4chip"] <= rec["instance_mult_1chip"]
 
 
 def test_bench_mesh_sharded_losses_match_across_shard_counts():

@@ -258,3 +258,188 @@ def test_sharded_grads_ring_allreduce_match():
         scale = np.abs(b).max() + 1e-8
         # the ring sums in a different (rotation) order than psum
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-6, err_msg=name)
+
+
+# ------------------------------------------------- round 5: band-aware config 5
+
+
+def test_prepare_sharded_bit_identical_nondivisible():
+    """Sharded prepare (slice -> prepare -> all_gather) must reproduce the
+    replicated prepare BIT-identically, including when the splat count does
+    not divide the shard count (padded rows are inert and sliced away)."""
+    rng = np.random.default_rng(7)
+    scene = _random_scene(rng, n=50)  # 50 over 4 shards -> chunk 13, pad 2
+    cam = _camera()
+    for n_shards in (2, 4):
+        mesh = make_render_mesh(num_tile_shards=n_shards)
+        a = np.asarray(render_sharded(scene, cam, CFG, mesh, shard_prepare=True))
+        b = np.asarray(render_sharded(scene, cam, CFG, mesh, shard_prepare=False))
+        np.testing.assert_array_equal(a, b, err_msg=f"shards={n_shards}")
+    want = np.asarray(render(scene, cam, CFG))
+    np.testing.assert_allclose(a, want, atol=2e-5)
+
+
+def test_sharded_grads_shard_prepare_match():
+    """Gradients with the prepare sharded over 'tiles' (slice transpose +
+    psum of disjoint slices) must equal the replicated-prepare gradients."""
+    rng = np.random.default_rng(8)
+    scene = _random_scene(rng, n=50)
+    cams = _camera_batch(2)
+    targets = jnp.asarray(rng.uniform(size=(2, 64, 64, 4)), jnp.float32)
+    mesh = make_render_mesh(num_tile_shards=4, num_view_shards=2)
+    tgt = shard_targets(targets, CFG, mesh)
+    loss_a, ga, _ = sharded_train_step(scene, cams, tgt, CFG, mesh,
+                                       shard_prepare=True)
+    loss_b, gb, _ = sharded_train_step(scene, cams, tgt, CFG, mesh,
+                                       shard_prepare=False)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+    for name in ("means", "sh", "opacities", "log_scales", "quats"):
+        a, b = np.asarray(getattr(ga, name)), np.asarray(getattr(gb, name))
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-6, err_msg=name)
+
+
+def test_band_demands_cover_and_bound():
+    """band_instance_demands: each band's demand is <= the full-view demand,
+    and the band sum >= the full demand (rects spanning a band boundary are
+    counted once per band they touch)."""
+    from splatapult_tpu.ops.binning import TileGrid, instance_demand
+    from splatapult_tpu.parallel.mesh import band_instance_demands
+    from splatapult_tpu.render import prepare_splats
+
+    rng = np.random.default_rng(9)
+    scene = _random_scene(rng, n=64)
+    cam = _camera()
+    num_shards = 4
+    bands = np.asarray(jax.jit(
+        band_instance_demands, static_argnames=("config", "num_shards")
+    )(scene, cam, CFG, num_shards))
+    assert bands.shape == (num_shards,)
+
+    splats = prepare_splats(scene, cam, CFG, sort=False)
+    grid = TileGrid.create(width=CFG.width, height=CFG.height, num_splats=64,
+                           tile_size=CFG.tile_size)
+    full = int(instance_demand(splats["mean2d"], splats["extent"], grid))
+    assert bands.max() <= full
+    assert bands.sum() >= full
+    assert bands.sum() > 0
+
+
+def test_calibrate_config_sharded_shrinks_per_chip_sort():
+    """Band calibration must produce a strictly smaller per-chip instance
+    capacity than full-view calibration (each chip's sort runs at ~1/D rows,
+    VERDICT r4 item 1), while the sharded render still matches single-chip."""
+    import dataclasses as dc
+
+    from splatapult_tpu.ops.tiled import _grid_from_config
+    from splatapult_tpu.parallel.mesh import (
+        _shard_config, calibrate_config_sharded)
+    from splatapult_tpu.render import calibrate_config
+
+    rng = np.random.default_rng(10)
+    # big enough that the full-view demand clears the 4096-row emax floor
+    # (at toy demand both calibrations would hit the floor and tie)
+    n = 2048
+    scene = _random_scene(rng, n=n)
+    cam = _camera()
+    mesh = make_render_mesh(num_tile_shards=4)
+    base = dc.replace(CFG, max_instance_mult=0.0)
+    full_cfg = calibrate_config(scene, cam, base)
+    band_cfg = calibrate_config_sharded(scene, cam, base, mesh)
+    assert band_cfg.max_instance_mult < full_cfg.max_instance_mult
+
+    # the capacity each chip's band grid actually allocates shrinks too
+    g_full = _grid_from_config(_shard_config(full_cfg, 4), n)
+    g_band = _grid_from_config(_shard_config(band_cfg, 4), n)
+    assert g_band.emax < g_full.emax
+
+    # correctness: the sharded render at BAND capacity matches the single
+    # render at FULL capacity (the band demand fits the band config; the
+    # single reference needs full-view capacity, which doesn't change the
+    # image — only overflow would)
+    want = np.asarray(render(scene, cam, full_cfg))
+    got = np.asarray(render_sharded(scene, cam, band_cfg, mesh))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_fit_scene_mesh_chunked_matches_per_step():
+    """fit_scene's mesh branch without a callback scans on-device (one
+    readback per chunk); its loss curve must match the per-step path."""
+    import optax
+
+    from splatapult_tpu.train import fit_scene
+
+    rng = np.random.default_rng(11)
+    scene = _random_scene(rng, n=32)
+    cams = _camera_batch(2)
+    targets = jnp.asarray(rng.uniform(size=(2, 64, 64, 4)), jnp.float32)
+    mesh = make_render_mesh(num_tile_shards=2, num_view_shards=2)
+    opt = optax.adam(1e-2)
+
+    _, losses_scan = fit_scene(scene, cams, targets, CFG, steps=5,
+                               optimizer=opt, mesh=mesh)
+    seen = []
+    _, losses_step = fit_scene(scene, cams, targets, CFG, steps=5,
+                               optimizer=opt, mesh=mesh,
+                               callback=lambda s, sc, l: seen.append(s))
+    assert len(losses_scan) == len(losses_step) == 5
+    assert seen == [0, 1, 2, 3, 4]
+    np.testing.assert_allclose(losses_scan, losses_step, rtol=2e-5)
+    assert losses_scan[-1] < losses_scan[0]
+
+
+def test_render_sharded_contiguous_layout_matches_single():
+    """The round-4 contiguous band layout stays supported (band_layout A/B)."""
+    scene = make_debug_scene()
+    cam = _camera()
+    want = np.asarray(render(scene, cam, CFG))
+    for n_shards in (2, 4):
+        mesh = make_render_mesh(num_tile_shards=n_shards)
+        got = np.asarray(render_sharded(scene, cam, CFG, mesh,
+                                        band_layout="contiguous"))
+        np.testing.assert_allclose(got, want, atol=2e-5,
+                                   err_msg=f"shards={n_shards}")
+
+
+def test_sharded_grads_layouts_match():
+    """Interleaved and contiguous band layouts must produce the same loss and
+    gradients (they partition the same instances differently)."""
+    rng = np.random.default_rng(12)
+    scene = _random_scene(rng, n=48)
+    cams = _camera_batch(2)
+    targets = jnp.asarray(rng.uniform(size=(2, 64, 64, 4)), jnp.float32)
+    mesh = make_render_mesh(num_tile_shards=4, num_view_shards=2)
+    li, gi, _ = sharded_train_step(
+        scene, cams, shard_targets(targets, CFG, mesh, "interleaved"),
+        CFG, mesh, band_layout="interleaved")
+    lc, gc, _ = sharded_train_step(
+        scene, cams, shard_targets(targets, CFG, mesh, "contiguous"),
+        CFG, mesh, band_layout="contiguous")
+    np.testing.assert_allclose(float(li), float(lc), rtol=1e-5)
+    for name in ("means", "sh", "opacities", "log_scales", "quats"):
+        a, b = np.asarray(getattr(gi, name)), np.asarray(getattr(gc, name))
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4, err_msg=name)
+
+
+def test_band_demands_interleaved_partitions_exactly():
+    """Interleaved tile-row ownership partitions instances EXACTLY: the band
+    demands must sum to the full-view demand (no rect spans two owners'
+    rows twice — each (splat, tile) instance has one owner)."""
+    from splatapult_tpu.ops.binning import TileGrid, instance_demand
+    from splatapult_tpu.parallel.mesh import band_instance_demands
+    from splatapult_tpu.render import prepare_splats
+
+    rng = np.random.default_rng(13)
+    scene = _random_scene(rng, n=64)
+    cam = _camera()
+    bands = np.asarray(jax.jit(
+        band_instance_demands,
+        static_argnames=("config", "num_shards", "band_layout")
+    )(scene, cam, CFG, 4, "interleaved"))
+    splats = prepare_splats(scene, cam, CFG, sort=False)
+    grid = TileGrid.create(width=CFG.width, height=CFG.height, num_splats=64,
+                           tile_size=CFG.tile_size)
+    full = int(instance_demand(splats["mean2d"], splats["extent"], grid))
+    assert bands.sum() == full, (bands, full)
+    assert bands.max() <= full

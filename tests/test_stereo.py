@@ -131,3 +131,69 @@ def test_calibrate_config_stereo_fits_union(rng):
     want = _per_eye(scene, cam, cal, 0.3)
     got = np.asarray(render_stereo(scene, cam, cal, 0.3))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+# ------------------------------------------- round 5: per-eye asymmetric frusta
+
+
+def test_stereo_pair_symmetric_tan_angles_degenerates():
+    """Symmetric tan angles reproduce Camera.from_fov's projection exactly,
+    so stereo_pair(tan_angles=symmetric) == stereo_pair() in both fields."""
+    cam = _camera()
+    fovy = np.pi / 4
+    t = float(np.tan(fovy / 2.0))
+    aspect = CFG.width / CFG.height
+    sym = np.asarray([[-t * aspect, t * aspect, t, -t]] * 2, np.float32)
+    a = cam.stereo_pair(0.064)
+    b = cam.stereo_pair(0.064, tan_angles=sym, near=0.1, far=1000.0)
+    np.testing.assert_array_equal(np.asarray(a.cam_to_world),
+                                  np.asarray(b.cam_to_world))
+    np.testing.assert_allclose(np.asarray(a.proj), np.asarray(b.proj),
+                               atol=1e-6)
+
+
+def test_stereo_pair_asymmetric_frusta_render():
+    """Per-eye ASYMMETRIC frusta (the reference's XR per-eye projections,
+    src/xrbuddy.cpp:1802-1832 + util.cpp:412-480): each eye renders with its
+    own projection; the outward-canted eyes must differ from the symmetric
+    pair, and each eye must equal a single render with that projection."""
+    from splatapult_tpu.core.transforms import projection_from_tan_angles
+    from splatapult_tpu.render import render_batch
+
+    rng = np.random.default_rng(77)
+    scene = _random_scene(rng)
+    cam = _camera()
+    t = float(np.tan(np.pi / 8))
+    # typical HMD shape: wider outward half-angle per eye
+    ta = np.asarray([
+        [-1.3 * t, 0.8 * t, t, -t],   # left eye: wide to the left
+        [-0.8 * t, 1.3 * t, t, -t],   # right eye: wide to the right
+    ], np.float32)
+    pair_cam = cam.stereo_pair(0.064, tan_angles=ta, near=0.1, far=1000.0)
+    got = np.asarray(render_batch(scene, pair_cam, CFG))
+    assert got.shape == (2, 64, 64, 4)
+    assert np.isfinite(got).all()
+
+    # per-eye equality with single renders under the same asymmetric proj
+    for e in range(2):
+        eye = Camera(cam_to_world=pair_cam.cam_to_world[e],
+                     proj=pair_cam.proj[e])
+        single = np.asarray(render(scene, eye, CFG))
+        np.testing.assert_allclose(got[e], single, atol=2e-5)
+
+    # the asymmetric pair differs from the symmetric one (frusta point
+    # elsewhere) — guards against the tan angles being silently ignored
+    sym = np.asarray(render_batch(scene, cam.stereo_pair(0.064), CFG))
+    assert np.abs(got - sym).max() > 1e-3
+
+
+def test_stereo_pair_infinite_far():
+    """far <= near places the far plane at infinity (the reference's
+    CreateProjection contract, util.cpp:447-457)."""
+    cam = _camera()
+    t = float(np.tan(np.pi / 8))
+    ta = np.asarray([[-t, t, t, -t]] * 2, np.float32)
+    pair = cam.stereo_pair(0.064, tan_angles=ta, near=0.1, far=0.0)
+    p = np.asarray(pair.proj[0])
+    np.testing.assert_allclose(p[2, 2], -1.0)
+    np.testing.assert_allclose(p[2, 3], -0.2)

@@ -96,3 +96,20 @@ def test_fit_scan_matches_step_loop():
     for a, b in zip(jax.tree.leaves(f_scan), jax.tree.leaves(f_loop)):
         # scan and loop fuse differently; allow last-ulp-scale drift
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_fit_demo_tiny_smoke(tmp_path):
+    """tools/fit_demo.py --tiny: the committed production-training artifact
+    generator runs end to end (targets -> perturb -> fit -> checkpoint
+    round-trip -> artifacts) and the loss drops."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.fit_demo import main as fit_demo_main
+
+    summary = fit_demo_main(["--tiny", "--out", str(tmp_path)])
+    assert summary["loss_final"] < summary["loss_first"]
+    assert summary["checkpoint_roundtrip"] == "exact"
+    for f in ("before.png", "after.png", "target.png", "loss_curve.json",
+              "ckpt_mid.npz"):
+        assert (tmp_path / f).exists(), f
