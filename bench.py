@@ -230,6 +230,14 @@ def main():
     parser.add_argument("--tile-size", type=int, default=32)
     parser.add_argument("--tile-block", type=int, default=128)
     parser.add_argument(
+        "--sort-bands", type=int, default=0,
+        help="split the pipeline into K interleaved tile-row bands, each "
+             "binning/sorting/compositing at ~1/K capacity (exact; "
+             "RenderConfig.sort_bands). 0 = auto: engage when the "
+             "calibrated mcap crosses the 2^23 lax.sort row cliff "
+             "(~+35%% ns/row past it, PERF.md r4); 1 = never",
+    )
+    parser.add_argument(
         "--depth-bits", type=int, default=0, choices=(0, 16, 20, 32),
         help="depth precision in the instance sort key (0 = auto: the 20-bit "
              "packed key — one sort operand fewer at ~2.4e-4 relative depth "
@@ -384,13 +392,38 @@ def _calibrated(args, scene, cam, config):
     # view(s): one tiny extra compile, then every per-step
     # sort/gather/kernel runs at right-sized rather than worst-case
     # capacity (render.calibrate_config)
+    import dataclasses
+    import math
+
     from splatapult_tpu.render import calibrate_config
 
     # bucket=1.0: the bench measures ONE fixed view per scene, so the exact
     # demand-fit capacity is the right measurement (the geometric bucketing
     # exists to share compiles across a camera SWEEP and costs up to 8%
     # capacity overshoot); the power-of-two sort-cliff clamp still applies
-    config = calibrate_config(scene, cam, config, bucket=1.0)
+    n = scene.means.shape[0]
+    tiles = ((-(-args.width // args.tile_size))
+             * (-(-args.height // args.tile_size)))
+    k = getattr(args, "sort_bands", 1)
+    auto = k == 0
+    if auto:
+        k = 1
+    while True:
+        cfg_k = dataclasses.replace(config, sort_bands=k)
+        cfg_k = calibrate_config(scene, cam, cfg_k, bucket=1.0)
+        emax = max(4096, -(-int(cfg_k.max_instance_mult * n) // 4096) * 4096)
+        mcap = emax + tiles * args.tile_block // k
+        # auto banding: past the lax.sort 2^23 row cliff every per-band
+        # sort pays ~35% more per row; split into interleaved tile-row
+        # bands until each band's mcap fits under the boundary
+        # (RenderConfig.sort_bands; exactness-tested)
+        if not auto or mcap < (1 << 23) or k >= 8:
+            break
+        k += 1
+    if k > 1 and args.verbose:
+        print(f"# sort-bands {k}: per-band mcap {mcap} under the 2^23 "
+              f"sort cliff", file=__import__('sys').stderr)
+    config = cfg_k
     if args.verbose:
         print(f"# auto capacity: mult {config.max_instance_mult:.3f} "
               f"(exact fit + cliff clamp; includes 6% headroom)")
@@ -532,6 +565,7 @@ def _timed_run(args, kind, scene, cam, config):
         # bench silently measured different configurations; both now tag it)
         "profile": profile_name(config),
         "packed_feats16": config.packed_feats16,
+        "sort_bands": getattr(config, "sort_bands", 1),
     }
 
 

@@ -76,6 +76,8 @@ def assemble_image(out, tile_ok, grid: TileGrid, config) -> jax.Array:
 
 def composite_tiled(sorted_splats, config, return_aux: bool = False):
     """Render sorted splats through the tiled Pallas pipeline -> [H, W, 4]."""
+    if getattr(config, "sort_bands", 1) > 1:
+        return _composite_tiled_banded(sorted_splats, config, return_aux)
     mean2d = sorted_splats["mean2d"]
     n = mean2d.shape[0]
     grid = _grid_from_config(config, n)
@@ -97,4 +99,58 @@ def composite_tiled(sorted_splats, config, return_aux: bool = False):
             "num_culled_instances": bins["num_culled_instances"],
             "tile_count": bins["tile_count"],
         }
+    return img
+
+
+def _composite_tiled_banded(sorted_splats, config, return_aux: bool = False):
+    """composite_tiled split into config.sort_bands interleaved tile-row
+    bands, each a full independent bin -> gather -> composite pipeline at
+    ~1/K capacity (the lax.sort 2^23 row-cliff lever, RenderConfig.sort_bands).
+
+    Exactness: bands own disjoint tile rows (row_stride/row_offset in
+    ops.binning), each tile's instance segment is identical to the unbanded
+    ordering, and the combine selects whole tiles — bit-identical forward.
+    The backward differentiates each band's composite independently (its
+    transpose tail also runs at band capacity); per-splat gradients sum
+    across bands through the shared ``feats`` input.
+    """
+    import dataclasses
+
+    import jax.numpy as _jnp
+
+    k = config.sort_bands
+    ts = config.tile_size
+    ty = -(-config.height // ts)
+    h_pad = -(-ty // k) * k * ts
+    cfg_full = dataclasses.replace(config, height=h_pad, sort_bands=1)
+    mean2d = sorted_splats["mean2d"] + _jnp.asarray(
+        [0.0, float(h_pad - config.height)], _jnp.float32)
+    n = mean2d.shape[0]
+    grid = _grid_from_config(cfg_full, n, row_stride=k)
+    ng = jax.lax.stop_gradient
+    feats = pack_features(
+        mean2d, sorted_splats["conic"], sorted_splats["rgb"],
+        sorted_splats["alpha"],
+    )
+
+    out = None
+    tile_ok = None
+    culled = jnp.int32(0)
+    tcount = jnp.zeros((grid.num_tiles,), jnp.int32)
+    for b_idx in range(k):
+        bins = bin_splats(
+            ng(mean2d), ng(sorted_splats["extent"]), grid,
+            depth=ng(sorted_splats["depth"]), row_offset=b_idx,
+        )
+        out_b = composite_from_feats(feats, bins, grid)
+        ok_b = bins["tile_ok"]
+        out = out_b if out is None else jnp.where(
+            ok_b[:, None, None], out_b, out)
+        tile_ok = ok_b if tile_ok is None else (tile_ok | ok_b)
+        culled = culled + bins["num_culled_instances"]
+        tcount = tcount + bins["tile_count"]
+
+    img = assemble_image(out, tile_ok, grid, config)
+    if return_aux:
+        return img, {"num_culled_instances": culled, "tile_count": tcount}
     return img

@@ -56,7 +56,11 @@ def _padded_height(config: RenderConfig, num_shards: int) -> int:
 
 
 def _shard_config(config: RenderConfig, num_shards: int) -> RenderConfig:
-    return dataclasses.replace(config, height=_padded_height(config, num_shards) // num_shards)
+    # sort_bands is a SINGLE-chip sort-cliff lever; the sharded band pipelines
+    # already run at ~1/D capacity, so nested banding is disabled here
+    return dataclasses.replace(
+        config, height=_padded_height(config, num_shards) // num_shards,
+        sort_bands=1)
 
 
 def _pad_scene(scene, n_pad: int):

@@ -160,6 +160,16 @@ class RenderConfig:
     # feature gather is 3-4x slower above ~85-120 MB (PERF.md); intended to
     # be enabled scale-conditionally (bench --packed-feats16 auto)
     packed_feats16: bool = False
+    # split the tiled pipeline into this many interleaved tile-row bands,
+    # each with its OWN binning/sort/gather/composite at ~1/K capacity
+    # (max_instance_mult then sizes EACH band). The point is the lax.sort
+    # power-of-two row cliff: sorts past 2^23 rows pay ~4.4 ns/row vs ~3.3
+    # at it (PERF.md r4), so 5M-splat scenes whose mcap lands past 2^23
+    # sort cheaper as K bands each under the boundary. Banding is exact:
+    # bands own disjoint tile rows, per-tile instance order is identical,
+    # and the backward's transpose tail also runs per band. bench.py's
+    # auto calibration engages it when the calibrated mcap crosses 2^23.
+    sort_bands: int = 1
     # depth precision in the instance sort key: 32 = exact f32 ordering
     # (default), 20 = top-20 f32 bits packed with the tile id into ONE sort
     # key (12 explicit mantissa bits, ~2.4e-4 relative depth; one sort
@@ -418,6 +428,15 @@ def _demand_fns(config: RenderConfig, grid):
     @jax.jit
     def demand(scene, cam):
         d = prepare_splats(scene, cam, config, sort=False)
+        if grid.row_stride > 1:
+            # banded pipeline (config.sort_bands): capacity is PER BAND, so
+            # the demand that sizes it is the peak band's
+            m2 = d["mean2d"] + jnp.asarray(
+                [0.0, float(grid.height - config.height)], jnp.float32)
+            offs = jnp.arange(grid.row_stride, dtype=jnp.int32)
+            return jnp.max(jax.vmap(
+                lambda o: instance_demand(m2, d["extent"], grid, row_offset=o)
+            )(offs))
         return instance_demand(d["mean2d"], d["extent"], grid)
 
     @jax.jit
@@ -479,10 +498,12 @@ def capacity_mult_for_demand(demand: int, num_splats: int,
     n = max(num_splats, 1)
     mult_needed = max(headroom * demand, 4096) / n
     mult = bucket_capacity_mult(mult_needed, bucket)
-    # reconstruct the emax/mcap geometry TileGrid.create derives from mult
+    # reconstruct the emax/mcap geometry TileGrid.create derives from mult;
+    # with sort_bands > 1 each band owns tiles/K, so its alignment pad (and
+    # the cliff arithmetic) shrinks with it
     tiles = ((-(-config.width // config.tile_size))
              * (-(-config.height // config.tile_size)))
-    pad_cap = tiles * config.tile_block
+    pad_cap = tiles * config.tile_block // max(getattr(config, "sort_bands", 1), 1)
     emax_needed = max(4096, -(-int(mult_needed * n) // 4096) * 4096)
     cliff = 1 << math.ceil(math.log2(emax_needed + pad_cap))
     emax_cap = (cliff - pad_cap) // 4096 * 4096
@@ -517,9 +538,13 @@ def calibrate_config(scene: GaussianScene, cameras: Camera,
     """
     from splatapult_tpu.ops.binning import TileGrid
 
-    grid = TileGrid.create(width=config.width, height=config.height,
+    k = max(getattr(config, "sort_bands", 1), 1)
+    ts = config.tile_size
+    ty = -(-config.height // ts)
+    h_cal = -(-ty // k) * k * ts  # banded: pad so tile rows divide the bands
+    grid = TileGrid.create(width=config.width, height=h_cal,
                            num_splats=scene.means.shape[0],
-                           tile_size=config.tile_size)
+                           tile_size=ts, row_stride=k)
     demand_fn, peak_fn = _demand_fns(config, grid)
 
     mats = jnp.asarray(cameras.cam_to_world)

@@ -837,3 +837,87 @@ def test_split_gather_bit_exact(monkeypatch, rng):
     for name in ("means", "sh", "opacities", "log_scales", "quats"):
         np.testing.assert_array_equal(np.asarray(getattr(ga, name)),
                                       np.asarray(getattr(gb, name)), err_msg=name)
+
+
+# ------------------------------------------------ round 5: banded sort pipeline
+
+
+def test_sort_bands_render_bit_identical(rng):
+    """config.sort_bands splits the pipeline into interleaved tile-row bands
+    (the 2^23 lax.sort cliff lever): per-tile instance segments are identical
+    to the unbanded ordering, so the forward image must be BIT-identical."""
+    scene = _random_scene(rng, n=96)
+    cam = _camera()
+    want = np.asarray(render(scene, cam, TILED))
+    for k in (2, 4):
+        cfg_k = dataclasses.replace(TILED, sort_bands=k)
+        got = np.asarray(render(scene, cam, cfg_k))
+        np.testing.assert_array_equal(got, want, err_msg=f"bands={k}")
+
+
+def test_sort_bands_nondivisible_height(rng):
+    # 3 tile rows over 2 bands: the banded grid pads the height, shifting
+    # mean2d y by the pad — mathematically identity but f32 rounding of
+    # (mean + pad) vs (pixel + pad) differs, so allclose rather than
+    # bit-equal here (divisible heights, no shift, stay bit-identical)
+    scene = _random_scene(rng, n=64)
+    cfg = dataclasses.replace(TILED, height=48, sort_bands=2)
+    cfg1 = dataclasses.replace(cfg, sort_bands=1)
+    cam = _camera()
+    a = np.asarray(render(scene, cam, cfg))
+    b = np.asarray(render(scene, cam, cfg1))
+    assert a.shape == (48, 64, 4)
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_sort_bands_grads_match(rng):
+    """Each band's composite differentiates independently (band-capacity
+    transpose tails); per-splat grads sum across bands and must match the
+    unbanded gradients."""
+    scene = _random_scene(rng, n=48)
+    cam = _camera()
+    cfg2 = dataclasses.replace(TILED, sort_bands=2)
+
+    def loss(cfg):
+        return lambda s: jnp.mean(render(s, cam, cfg) ** 2)
+
+    la, ga = jax.value_and_grad(loss(TILED))(scene)
+    lb, gb = jax.value_and_grad(loss(cfg2))(scene)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    for name in ("means", "sh", "opacities", "log_scales", "quats"):
+        a, b = np.asarray(getattr(ga, name)), np.asarray(getattr(gb, name))
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-5, err_msg=name)
+
+
+def test_sort_bands_calibration_sizes_per_band(rng):
+    """calibrate_config with sort_bands sizes capacity to the PEAK BAND
+    demand (smaller than full-view), and the banded render with that
+    capacity matches the unbanded full-capacity render."""
+    from splatapult_tpu.render import calibrate_config
+
+    scene = _random_scene(rng, n=2048)
+    cam = _camera()
+    base = dataclasses.replace(TILED, max_instance_mult=0.0)
+    cal1 = calibrate_config(scene, cam, dataclasses.replace(base, sort_bands=1))
+    cal4 = calibrate_config(scene, cam, dataclasses.replace(base, sort_bands=4))
+    assert cal4.max_instance_mult < cal1.max_instance_mult
+    a = np.asarray(render(scene, cam, cal4))
+    b = np.asarray(render(scene, cam, cal1))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sort_bands_overflow_counted(rng):
+    """Starved per-band capacity must COUNT its drops (never silent)."""
+    from splatapult_tpu.ops.tiled import composite_tiled
+    from splatapult_tpu.render import prepare_splats
+
+    # big extents so the raw demand clears the 4096-row emax floor
+    scene = _random_scene(rng, n=2048, spread=0.5)
+    scene = dataclasses.replace(
+        scene, log_scales=scene.log_scales + 1.5)  # inflate footprints
+    cam = _camera()
+    cfg = dataclasses.replace(TILED, sort_bands=2, max_instance_mult=0.02)
+    splats = prepare_splats(scene, cam, cfg, sort=False)
+    _, aux = composite_tiled(splats, cfg, return_aux=True)
+    assert int(aux["num_culled_instances"]) > 0

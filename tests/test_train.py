@@ -110,6 +110,6 @@ def test_fit_demo_tiny_smoke(tmp_path):
     summary = fit_demo_main(["--tiny", "--out", str(tmp_path)])
     assert summary["loss_final"] < summary["loss_first"]
     assert summary["checkpoint_roundtrip"] == "exact"
-    for f in ("before.png", "after.png", "target.png", "loss_curve.json",
-              "ckpt_mid.npz"):
+    for f in ("before.png", "after.png", "target.png", "loss_curve.json"):
         assert (tmp_path / f).exists(), f
+    assert not (tmp_path / "ckpt_mid.npz").exists()  # verified then removed

@@ -152,6 +152,8 @@ def main(argv=None):
         np.testing.assert_array_equal(np.asarray(getattr(mid_scene, f)),
                                       np.asarray(getattr(reloaded, f)))
     reloaded = jax.tree.map(jnp.asarray, reloaded)
+    os.remove(ckpt)  # round trip verified; the blob itself (tens of MB at
+    # production scale) is not a useful committed artifact
 
     t1 = time.time()
     final_scene, losses2 = fit_scene(reloaded, cams, targets, cfg,
