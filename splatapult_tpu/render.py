@@ -541,7 +541,11 @@ def calibrate_config(scene: GaussianScene, cameras: Camera,
     k = max(getattr(config, "sort_bands", 1), 1)
     ts = config.tile_size
     ty = -(-config.height // ts)
-    h_cal = -(-ty // k) * k * ts  # banded: pad so tile rows divide the bands
+    # banded: pad so tile rows divide the bands. At k == 1 the height must
+    # stay EXACT: a padded demand grid shifts rect rows and perturbs the
+    # measured demand by ~0.2%, which moved emax by one 4096 quantum and
+    # cost +5 ms on the garden step (a sub-pow2 sort cliff; measured r5)
+    h_cal = config.height if k == 1 else -(-ty // k) * k * ts
     grid = TileGrid.create(width=config.width, height=h_cal,
                            num_splats=scene.means.shape[0],
                            tile_size=ts, row_stride=k)
