@@ -230,12 +230,14 @@ def main():
     parser.add_argument("--tile-size", type=int, default=32)
     parser.add_argument("--tile-block", type=int, default=128)
     parser.add_argument(
-        "--sort-bands", type=int, default=0,
+        "--sort-bands", type=int, default=1,
         help="split the pipeline into K interleaved tile-row bands, each "
              "binning/sorting/compositing at ~1/K capacity (exact; "
-             "RenderConfig.sort_bands). 0 = auto: engage when the "
-             "calibrated mcap crosses the 2^23 lax.sort row cliff "
-             "(~+35%% ns/row past it, PERF.md r4); 1 = never",
+             "RenderConfig.sort_bands). MEASURED NEGATIVE single-chip at "
+             "5M (644 vs 491 ms: per-band compaction sorts ~54 ms + "
+             "duplicated O(N) plumbing swamp the ~2^23-cliff saving — "
+             "PERF.md r5, tools/probe_sort_bands.py), so the default is 1 "
+             "(never). 0 = auto-engage past the cliff, kept for A/B",
     )
     parser.add_argument(
         "--depth-bits", type=int, default=0, choices=(0, 16, 20, 32),

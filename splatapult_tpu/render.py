@@ -162,13 +162,18 @@ class RenderConfig:
     packed_feats16: bool = False
     # split the tiled pipeline into this many interleaved tile-row bands,
     # each with its OWN binning/sort/gather/composite at ~1/K capacity
-    # (max_instance_mult then sizes EACH band). The point is the lax.sort
-    # power-of-two row cliff: sorts past 2^23 rows pay ~4.4 ns/row vs ~3.3
-    # at it (PERF.md r4), so 5M-splat scenes whose mcap lands past 2^23
-    # sort cheaper as K bands each under the boundary. Banding is exact:
-    # bands own disjoint tile rows, per-tile instance order is identical,
-    # and the backward's transpose tail also runs per band. bench.py's
-    # auto calibration engages it when the calibrated mcap crosses 2^23.
+    # (max_instance_mult then sizes EACH band). Motivation was the lax.sort
+    # 2^23 row cliff (~+35% ns/row past it) at 5M-splat mcaps; banding is
+    # exact (bands own disjoint tile rows, per-tile instance order
+    # identical, per-band backward tails). MEASURED NEGATIVE single-chip
+    # at 5M/1080p: 644.5 vs 491.1 ms (PERF.md r5) — with ~half the splats
+    # culled per band the expand window-span check fails and each band
+    # pays the 5-operand N-row compaction sort (~54 ms of the gap,
+    # tools/probe_sort_bands.py), and the backward's O(N) per-splat
+    # segment machinery duplicates per band (~32 ms). Kept exactness-
+    # tested for A/B; the cliff economics DO work multi-chip, where each
+    # chip pays its O(N) once in parallel (parallel/mesh.py interleaved
+    # sharding is the production form of this idea).
     sort_bands: int = 1
     # depth precision in the instance sort key: 32 = exact f32 ordering
     # (default), 20 = top-20 f32 bits packed with the tile id into ONE sort
