@@ -473,6 +473,36 @@ def _timed_run(args, kind, scene, cam, config):
                 c, config,
             )
             return jnp.ravel(img)[0] * 1e-30  # data dependency for the next step
+    elif args.views > 1:
+        # the production multi-view fwd+bwd structure (train._train_step_impl):
+        # a lax.scan of per-view value_and_grad into carried gradient sums —
+        # same math as differentiating through the view batch, measured
+        # 98.6 ms/view at 1M/1080p vs 106.3 through lax.map (+5.1 ms/view of
+        # scan residual-stacking) and ~220 vmapped (PERF.md r5, config 4)
+        from splatapult_tpu.render import Camera, render
+
+        def view_loss(s, cam_mat, proj):
+            img = render(s, Camera(cam_to_world=cam_mat, proj=proj), config)
+            return jnp.mean(img ** 2)
+
+        vg = jax.value_and_grad(view_loss)
+
+        def one_step(s, c, eps):
+            sp = GaussianScene(
+                means=s.means + eps, sh=s.sh, opacities=s.opacities,
+                log_scales=s.log_scales, quats=s.quats,
+            )
+
+            def body(carry, xs):
+                al, ag = carry
+                cm, pj = xs
+                l, g = vg(sp, cm, pj)
+                return (al + l, jax.tree.map(jnp.add, ag, g)), None
+
+            zero = jax.tree.map(jnp.zeros_like, sp)
+            (ls, gs), _ = jax.lax.scan(
+                body, (jnp.float32(0.0), zero), (c.cam_to_world, c.proj))
+            return (ls + gs.means[0, 0]) * 1e-30
     else:
         def loss(s, c):
             return jnp.mean(render_fn(s, c, config) ** 2)

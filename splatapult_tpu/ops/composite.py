@@ -388,10 +388,13 @@ def _fwd_kernel(grid: TileGrid, meta_ref, inst_ref, out_ref):
 
 
 def _bwd_kernel(grid: TileGrid, meta_ref, inst_ref, basis_ref,
-                rd_ref, dcols_ref, carry):
-    # meta_ref as in _fwd_kernel; rd_ref carries the forward residual rows
-    # stacked with the output cotangent rows ([1, 16, P]) so the tile-indexed
-    # input needs one block mapping instead of two
+                res_ref, dout_ref, dcols_ref, carry):
+    # meta_ref as in _fwd_kernel; res_ref carries the forward residual rows,
+    # dout_ref the output cotangent rows — two [1, 8, P] tile-indexed blocks
+    # with the same index map. (Round 1-4 concatenated them into one
+    # [T, 16, P] operand "so the input needs one block mapping instead of
+    # two"; that concat materialized a 134 MB copy every backward at garden
+    # scale for no kernel-side benefit.)
     j = pl.program_id(0)
     meta = meta_ref[j]
     t = meta >> 2
@@ -415,10 +418,10 @@ def _bwd_kernel(grid: TileGrid, meta_ref, inst_ref, basis_ref,
         eff = t_before * w
         block_prod = excl[b - 1 : b, :] * one_minus[b - 1 : b, :]
 
-        t_fin = rd_ref[0, 4:5, :].astype(jnp.float32)
-        d_alpha_out = rd_ref[0, OUT_ROWS + 3 : OUT_ROWS + 4, :].astype(jnp.float32)
-        d_tfin_out = rd_ref[0, OUT_ROWS + 4 : OUT_ROWS + 5, :].astype(jnp.float32)
-        d_rgb_out = rd_ref[0, OUT_ROWS : OUT_ROWS + 3, :].astype(jnp.float32)  # [3, P]
+        t_fin = res_ref[0, 4:5, :].astype(jnp.float32)
+        d_alpha_out = dout_ref[0, 3:4, :].astype(jnp.float32)
+        d_tfin_out = dout_ref[0, 4:5, :].astype(jnp.float32)
+        d_rgb_out = dout_ref[0, 0:3, :].astype(jnp.float32)  # [3, P]
         inv_om = 1.0 / jnp.maximum(one_minus, 1e-9)
 
         # dL/dw accumulated over color channels + alpha/transmittance rows.
@@ -434,7 +437,7 @@ def _bwd_kernel(grid: TileGrid, meta_ref, inst_ref, basis_ref,
                 + colors[:, 2:3] * d_rgb_out[2:3, :])  # [B, P]
         # [1, P] row constants folded together before touching [B, P] shapes
         row = (d_alpha_out - d_tfin_out) * t_fin - jnp.sum(
-            d_rgb_out * (rd_ref[0, 0:3, :].astype(jnp.float32) - carry[1:4, :]),
+            d_rgb_out * (res_ref[0, 0:3, :].astype(jnp.float32) - carry[1:4, :]),
             axis=0, keepdims=True,
         )
         incl_dot = _scan_rows_add(eff * cdot)
@@ -556,7 +559,8 @@ def _bwd_call(inst, block_meta, out_res, dout, grid: TileGrid):
         in_specs=[
             pl.BlockSpec((grid.block, _num_feats(grid)), lambda j, m: (j, 0)),
             pl.BlockSpec((p, NUM_MOMS), lambda j, m: (0, 0)),
-            pl.BlockSpec((1, 2 * OUT_ROWS, p), lambda j, m: (m[j] >> 2, 0, 0)),
+            pl.BlockSpec((1, OUT_ROWS, p), lambda j, m: (m[j] >> 2, 0, 0)),
+            pl.BlockSpec((1, OUT_ROWS, p), lambda j, m: (m[j] >> 2, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (NUM_GRAD_COLS, grid.block), lambda j, m: (0, j)
@@ -564,13 +568,12 @@ def _bwd_call(inst, block_meta, out_res, dout, grid: TileGrid):
         scratch_shapes=[pltpu.VMEM((4, p), jnp.float32)],
     )
     basis = jnp.asarray(moment_basis(grid))
-    res_dout = jnp.concatenate([out_res, dout], axis=1)  # [T, 16, P]
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NUM_GRAD_COLS, grid.mcap), jnp.float32),
         interpret=_interpret(),
-    )(block_meta, inst, basis, res_dout)
+    )(block_meta, inst, basis, out_res, dout)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

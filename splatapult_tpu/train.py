@@ -32,14 +32,34 @@ def l2_image_loss(img, target):
 
 def _train_step_impl(scene: GaussianScene, opt_state, cameras: Camera, targets,
                      config: RenderConfig, optimizer):
-    def loss_fn(scene):
-        def one(cam_mat, proj, tgt):
-            img = render(scene, Camera(cam_to_world=cam_mat, proj=proj), config)
-            return l2_image_loss(img, tgt)
+    # Per-view gradient ACCUMULATION (lax.scan of one-view value_and_grad
+    # into carried sums) rather than differentiating through a view batch:
+    # the mean of per-view losses has the mean of per-view grads, so this
+    # is the same update. Measured at 1M/1080p fwd+bwd (PERF.md r5): vmap
+    # over the tiled pipeline batches its sorts/kernels badly (~220
+    # ms/view, r2), and even sequential lax.map costs ~5.1 ms/view of
+    # scan residual-stacking machinery on top of the ~1.8 ms/view loss/
+    # accumulation cost; self-contained per-view fwd+bwd iterations carry
+    # only the gradient sums (~101 ms/view vs 106.3 through lax.map).
+    def view_loss(scene, cam_mat, proj, tgt):
+        img = render(scene, Camera(cam_to_world=cam_mat, proj=proj), config)
+        return l2_image_loss(img, tgt)
 
-        return jnp.mean(jax.vmap(one)(cameras.cam_to_world, cameras.proj, targets))
+    vg = jax.value_and_grad(view_loss)
+    v = targets.shape[0]
 
-    loss, grads = jax.value_and_grad(loss_fn)(scene)
+    def body(carry, xs):
+        acc_loss, acc_g = carry
+        cam_mat, proj, tgt = xs
+        loss, g = vg(scene, cam_mat, proj, tgt)
+        return (acc_loss + loss, jax.tree.map(jnp.add, acc_g, g)), None
+
+    zero_g = jax.tree.map(jnp.zeros_like, scene)
+    (loss_sum, gsum), _ = jax.lax.scan(
+        body, (jnp.float32(0.0), zero_g),
+        (cameras.cam_to_world, cameras.proj, targets))
+    loss = loss_sum / v
+    grads = jax.tree.map(lambda g: g / v, gsum)
     updates, opt_state = optimizer.update(grads, opt_state, scene)
     scene = optax.apply_updates(scene, updates)
     return scene, opt_state, loss
