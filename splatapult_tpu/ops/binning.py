@@ -118,6 +118,11 @@ class TileGrid:
     # config instead of the module global (tools may still monkeypatch the
     # global for A/B sweeps; an "auto" grid honors it)
     expand_impl: str = "auto"
+    # compaction-branch selection, same pattern as expand_impl: "auto" =
+    # the exact runtime span check (through the module global, which tools
+    # monkeypatch); "always" forces the 5-operand partition sort; "never"
+    # forces the in-place path UNSAFELY (measurement only)
+    compact_mode: str = "auto"
     # INTERLEAVED multi-chip tile-row ownership: with row_stride S > 1 the
     # grid still describes the FULL image (tile ids, pixel coords, sort-key
     # packing are all full-grid), but binning enumerates only the tile rows
@@ -155,7 +160,8 @@ class TileGrid:
                max_instance_mult=6, alpha_cutoff=1.0 / 256.0, early_stop_eps=0.0,
                accum_dtype="float32", grad_sort_dtype="float32",
                packed_colors=False, forward_only=False, depth_bits=32,
-               expand_impl="auto", packed_feats16=False, row_stride=1):
+               expand_impl="auto", packed_feats16=False, row_stride=1,
+               compact_mode="auto"):
         assert block & (block - 1) == 0, "block must be a power of two"
         assert accum_dtype in ("float32", "bfloat16"), accum_dtype
         assert grad_sort_dtype in ("float32", "bfloat16"), grad_sort_dtype
@@ -175,7 +181,7 @@ class TileGrid:
             grad_sort_dtype=grad_sort_dtype, packed_colors=packed_colors,
             forward_only=forward_only, depth_bits=depth_bits,
             expand_impl=expand_impl, packed_feats16=packed_feats16,
-            row_stride=row_stride,
+            row_stride=row_stride, compact_mode=compact_mode,
         )
 
 
@@ -207,7 +213,10 @@ _EXPAND_ORDER = ("onehot", "packed")
 # Compaction-branch override for A/B measurement tools ONLY ("auto" = the
 # exact runtime span check; "always" forces the 5-operand partition sort;
 # "never" forces the in-place path UNSAFELY — correctness then rests on the
-# view actually fitting the windows)
+# view actually fitting the windows). Library consumers should pin
+# TileGrid.compact_mode instead; an "auto" grid defers here. _EMIT_M_POS
+# below stays deliberately tool-only (it resurrects a deleted legacy
+# payload purely for A/B measurement).
 _COMPACT_MODE = "auto"
 # A/B measurement global: emit the legacy m_pos enumeration-id payload from
 # the main instance sort (the round-1..3 design, whose backward tail sorted
@@ -739,9 +748,11 @@ def bin_splats(mean2d, extent, grid: TileGrid, depth=None, row_offset=None):
             # never selected); lo_u already points at the covering rows
             return c + (lo_u,)
 
-        if _COMPACT_MODE == "always":
+        cmode = (grid.compact_mode if grid.compact_mode != "auto"
+                 else _COMPACT_MODE)
+        if cmode == "always":
             need_compact = jnp.any(nk > 0)
-        elif _COMPACT_MODE == "never":
+        elif cmode == "never":
             need_compact = jnp.bool_(False)
         else:
             need_compact = jnp.any(nk > 0) & jnp.logical_not(fits)
