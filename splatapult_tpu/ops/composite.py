@@ -539,6 +539,16 @@ def _fwd_call(inst, block_meta, grid: TileGrid):
 
 NUM_GRAD_COLS = 9  # d_mx, d_my, d_qa, d_qb, d_qc, d_lna, dr, dg, db
 
+# Segment-gather table-size threshold (bytes) above which the backward
+# tail's [emax, 9] prefix table splits into [emax, 8] + [emax, 2] for the
+# per-splat segment-end gather. Measured IN CONTEXT (r5): at garden's
+# 93 MB the 9-col table falls off the gather-residency cliff and the
+# split wins big (153.0 -> 127.3 ms); at ball-1M's 66 MB the single
+# gather is still fast and the split LOSES 7.7 ms (99.45 -> 107.2), so
+# the crossover sits between those — 80 MB routes both correctly.
+# Tests monkeypatch this to 0 to force the split branch at toy scale.
+_SEG_GATHER_SPLIT_BYTES = 80_000_000
+
 
 def _bwd_call(inst, block_meta, out_res, dout, grid: TileGrid):
     """-> [9, mcap] per-instance gradient columns (rows are contiguous [mcap]
@@ -695,18 +705,28 @@ def _cff_bwd(grid, residuals, dout):
     # per-splat segment sums over the splat-grouped ranges. Segments are
     # CONTIGUOUS (offs is an exact exclusive cumsum of cnt, dropped splats
     # have cnt == 0), so start_i == end_{i-1} and one prefix gather + a
-    # first-difference replaces two gathers. ONE [emax, 9] row gather: on v5e
-    # 9-col (36 B) rows gather at ~6.4 ns/index while a 1-D gather costs
-    # ~7.1 ns/index on its own, so the former [emax, 8] + [emax, 1] split
-    # (~10.6 ns/index combined) loses to the single gather
-    # (tools/microbench_gather.py).
-    cs9 = _blocked_cumsum(
-        jnp.stack([c[: grid.emax] for c in sorted_cols[1:10]], axis=1)
-    )  # [emax, 9]
+    # first-difference replaces two gathers. The gather LAYOUT is size-
+    # conditional (measured r5, tools + PERF.md "segment-gather residency"):
+    # below ~60 MB one [emax, 9] row gather runs at the fast per-index rate
+    # (~6.4 ns; an 8+1 split measured SLOWER there, r4 microbench_gather);
+    # past it the 9-col table falls off the residency cliff (~19 ns/idx at
+    # garden's 93 MB) while a 2-col 21 MB table still gathers at ~4.5 ns —
+    # so large tables split 8 + 2 (the 9th column rides a 2-wide table with
+    # a zero pad column; 1-wide gathers are catastrophic, ~25 ns/idx).
+    cs_cols = [c[: grid.emax] for c in sorted_cols[1:10]]
     end = jnp.minimum(bins["seg_offs"] + bins["seg_cnt"], grid.emax)
     at = jnp.clip(end - 1, 0, grid.emax - 1)
     live = (end > 0)[:, None]
-    g = jnp.where(live, jnp.take(cs9, at, axis=0), 0.0)  # [N, 9] cs at segment ends
+    if grid.emax * 36 > _SEG_GATHER_SPLIT_BYTES:
+        cs8 = _blocked_cumsum(jnp.stack(cs_cols[:8], axis=1))
+        cs2 = _blocked_cumsum(jnp.stack(
+            [cs_cols[8], jnp.zeros_like(cs_cols[8])], axis=1))
+        g = jnp.where(live, jnp.concatenate(
+            [jnp.take(cs8, at, axis=0), jnp.take(cs2, at, axis=0)[:, :1]],
+            axis=1), 0.0)  # [N, 9] cs at segment ends
+    else:
+        cs9 = _blocked_cumsum(jnp.stack(cs_cols, axis=1))  # [emax, 9]
+        g = jnp.where(live, jnp.take(cs9, at, axis=0), 0.0)
     d_rows = jnp.diff(g, axis=0, prepend=jnp.zeros((1, 9), g.dtype))  # [N, 9]
     d_feats = jnp.concatenate(
         [d_rows, jnp.zeros((d_rows.shape[0], NUM_FEATS - 9), d_rows.dtype)], axis=1

@@ -143,3 +143,44 @@ def test_camera_grads_flow():
     g = np.asarray(jax.grad(loss)(cam.cam_to_world))
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0
+
+
+def test_seg_gather_split_branch_matches(monkeypatch):
+    """The large-table 8+2 segment-gather split (residency-cliff workaround,
+    PERF.md r5) must produce gradients identical to the single [emax, 9]
+    gather. CPU tests never reach the 60 MB threshold, so force the branch."""
+    import dataclasses
+
+    import splatapult_tpu.ops.composite as C
+    from splatapult_tpu.io.gaussians import GaussianScene
+    from splatapult_tpu.core import transforms as T
+    from splatapult_tpu.render import Camera, RenderConfig, render
+
+    rng = np.random.default_rng(21)
+    n = 64
+    quats = rng.standard_normal((n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    scene = GaussianScene(
+        means=jnp.asarray(rng.uniform(-0.8, 0.8, (n, 3)), jnp.float32),
+        sh=jnp.asarray(rng.standard_normal((n, 3, 1)) * 0.5, jnp.float32),
+        opacities=jnp.asarray(rng.uniform(-1, 2.5, (n,)), jnp.float32),
+        log_scales=jnp.asarray(rng.uniform(-3.5, -1.5, (n, 3)), jnp.float32),
+        quats=jnp.asarray(quats),
+    )
+    cam = Camera.from_fov(
+        T.look_at(eye=[1.2, 1.1, 1.3], target=[0.3, 0.3, 0.3], up=[0, 1, 0]),
+        fovy=np.pi / 4, width=64, height=64)
+    cfg = RenderConfig(width=64, height=64, pipeline="tiled", tile_size=16,
+                       tile_block=8, max_instance_mult=20)
+
+    def loss(s):
+        return jnp.mean(render(s, cam, cfg) ** 2)
+
+    ga = jax.grad(loss)(scene)
+    with monkeypatch.context() as m:
+        m.setattr(C, "_SEG_GATHER_SPLIT_BYTES", 0)  # force the split branch
+        gb = jax.grad(loss)(scene)
+    for name in ("means", "sh", "opacities", "log_scales", "quats"):
+        np.testing.assert_array_equal(np.asarray(getattr(ga, name)),
+                                      np.asarray(getattr(gb, name)),
+                                      err_msg=name)
