@@ -57,7 +57,15 @@ def sort_ns_row_op(rows: float) -> float:
 def gather_ns_idx(table_rows: float) -> float:
     """Measured 32 B-row gather cost per index vs table size
     (tools/probe_scale5m.py: flat ~4.7 ns to 2.66M rows, 7.0 at 5.32M;
-    small tables ~3.4 ns, tools/microbench_gather.py)."""
+    small tables ~3.4 ns, tools/microbench_gather.py).
+
+    CAVEAT (r5): these rates are for ~32 B rows and tables under the
+    ~66-93 MB in-context residency cliff. Wider/bigger tables gather at
+    ~19-32 ns/idx (PERF.md r5 "segment-gather residency cliff"); the
+    production tail now splits its prefix table 8+2 above 80 MB, which is
+    what lets the garden step (127.3 ms) run BELOW this model's r4
+    "floor" (138.5) — the old floor priced that gather at fast rates the
+    unsplit pipeline did not get."""
     if table_rows <= 1.4e6:
         return 3.4e-9
     if table_rows <= 2.7e6:
