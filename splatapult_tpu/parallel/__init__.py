@@ -3,11 +3,14 @@ from splatapult_tpu.parallel.mesh import (
     calibrate_config_sharded,
     make_render_mesh,
     make_sharded_fit_steps,
+    make_zero_fit_steps,
+    pad_scene_to_mesh,
     prepare_splats_sharded,
     render_sharded,
     render_batch_sharded,
     shard_targets,
     sharded_train_step,
+    zero_fit_steps,
 )
 
 __all__ = [
@@ -15,9 +18,12 @@ __all__ = [
     "calibrate_config_sharded",
     "make_render_mesh",
     "make_sharded_fit_steps",
+    "make_zero_fit_steps",
+    "pad_scene_to_mesh",
     "prepare_splats_sharded",
     "render_sharded",
     "render_batch_sharded",
     "shard_targets",
     "sharded_train_step",
+    "zero_fit_steps",
 ]

@@ -679,3 +679,166 @@ def shard_targets(targets, config: RenderConfig, mesh: Mesh,
             .reshape(v, h_pad, w, c)
         )
     return targets
+
+
+# --------------------- ZeRO-style parameter sharding ---------------------
+#
+# The tile-sharded step above keeps the SCENE replicated: every chip holds
+# all N splats' parameters and optimizer state, and the per-shard gradients
+# are completed by an all-reduce of the FULL ~59-float/splat gradient tree
+# (2(D-1)/D x 59 f32 x N over ICI — the term tools/scaling_model.py shows
+# GROWING with D and bounding config-5 efficiency past D=4). But
+# prepare_splats is the ONLY consumer of the scene parameters, it is
+# elementwise per splat, and the sharded prepare already all-gathers its ~14
+# output floats per splat. So shard the parameters themselves (the classic
+# TPU ZeRO/FSDP recipe, over the splat axis instead of a weight axis):
+#
+# - each chip OWNS splats [c*chunk, (c+1)*chunk): parameters AND optimizer
+#   state live sharded (P('tiles') on the splat axis) — per-chip param +
+#   Adam memory drops from ~244 B/splat x N to x N/D;
+# - forward: local prepare on the owned chunk, all_gather the 56 B/splat
+#   feature columns over 'tiles' (ALREADY the sharded-prepare cost — the
+#   parameters themselves never cross ICI);
+# - backward: the all_gather transposes to a psum_scatter of the ~14
+#   feature-column cotangents (14 f32 x (D-1)/D x N — 8.7x fewer ICI bytes
+#   than the replicated path's grad all-reduce), then the prepare VJP runs
+#   on the owned chunk only. The 59-float/splat gradient tree NEVER crosses
+#   the 'tiles' axis; only the small per-chunk grads psum over 'views'.
+# - update: optax runs on the owned chunk (O(N/D) instead of O(N)).
+#
+# The reference has no analog (single GPU, forward only); this is the
+# framework's own BASELINE config-5 north star ("grad all-reduce overlapped"
+# becomes "grad all-reduce ELIMINATED" for the tiles axis).
+
+
+def pad_scene_to_mesh(scene, mesh: Mesh):
+    """Pad scene leaves so the splat count divides the 'tiles' axis ->
+    (padded_scene, true_n). Pad rows are inert (see _pad_scene) and sit at
+    the global tail, so the gathered feature slice [:true_n] drops them."""
+    d = mesh.shape["tiles"]
+    n = scene.means.shape[0]
+    chunk = -(-n // d)
+    return _pad_scene(scene, chunk * d), n
+
+
+def _abstract_scene(npad: int, sh_k: int):
+    from splatapult_tpu.io.gaussians import GaussianScene
+
+    f32 = jnp.float32
+    return GaussianScene(
+        means=jax.ShapeDtypeStruct((npad, 3), f32),
+        sh=jax.ShapeDtypeStruct((npad, 3, sh_k), f32),
+        opacities=jax.ShapeDtypeStruct((npad,), f32),
+        log_scales=jax.ShapeDtypeStruct((npad, 3), f32),
+        quats=jax.ShapeDtypeStruct((npad, 4), f32),
+    )
+
+
+def _axis0_specs(shapes, npad: int):
+    """P('tiles') for [npad, ...] leaves (sharded splat axis), P() for the
+    rest (optax step counters and other scalars stay replicated)."""
+    return jax.tree.map(
+        lambda x: P("tiles") if (x.ndim >= 1 and x.shape[0] == npad) else P(),
+        shapes,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def make_zero_fit_steps(config: RenderConfig, mesh: Mesh, optimizer,
+                        steps: int, num_splats: int, sh_k: int,
+                        band_layout: str = "interleaved"):
+    """``steps`` ZeRO-sharded SPMD updates in ONE jitted lax.scan.
+
+    Signature of the returned fn: (padded_scene, cameras, targets,
+    opt_state) -> (padded_scene, opt_state, losses[steps]), where
+    padded_scene/opt_state leaves are sharded P('tiles') on the splat axis
+    (see pad_scene_to_mesh; opt_state from optimizer.init(padded_scene)).
+
+    Numerics: the forward is bit-identical to the replicated sharded step
+    (prepare is elementwise; the all_gather reassembles the same columns).
+    Gradients are mathematically identical — the prepare VJP is linear in
+    its cotangent, so VJP(psum-scattered d_feats) == psum(VJP(d_feats))
+    restricted to the owned chunk — differing only in float summation
+    order. Same lru_cache caveat as make_sharded_train_step: ``optimizer``
+    keys by object identity, construct it once.
+    """
+    import optax
+
+    num_shards = mesh.shape["tiles"]
+    chunk = -(-num_splats // num_shards)
+    npad = chunk * num_shards
+    band_h = _shard_config(config, num_shards).height
+    band_fn = _band_fn(band_layout)
+    ts = config.tile_size
+    axes = ("views", "tiles")
+
+    abstract = _abstract_scene(npad, sh_k)
+    scene_specs = jax.tree.map(lambda x: P("tiles"), abstract)
+    opt_specs = _axis0_specs(jax.eval_shape(optimizer.init, abstract), npad)
+
+    def shard_body(scene_loc, cameras, targets, opt_loc):
+        d = lax.axis_index("tiles")
+
+        def loss_fn(scene_loc):
+            def one_view(cam, tgt):
+                sp = prepare_splats(scene_loc, cam, config, sort=False)
+                splats = jax.tree.map(
+                    lambda x: lax.all_gather(
+                        x, "tiles", axis=0, tiled=True)[:num_splats], sp)
+                band = band_fn(splats, d, num_shards, config)
+                i = jnp.arange(band_h)
+                if band_layout == "interleaved":
+                    rows = ((i // ts) * num_shards + d) * ts + i % ts
+                else:
+                    rows = d * band_h + i
+                valid = (rows < config.height)[:, None, None]
+                return jnp.sum(jnp.where(valid, (band - tgt) ** 2, 0.0))
+
+            denom = (targets.shape[0] * mesh.shape["views"]
+                     * config.height * config.width * 4)
+            return jnp.sum(jax.vmap(one_view)(cameras, targets)) / denom
+
+        def body(carry, _):
+            scene_loc, opt_loc = carry
+            loss, g_loc = jax.value_and_grad(loss_fn)(scene_loc)
+            # grads of the owned chunk are complete over 'tiles' (the
+            # feature all_gather's transpose psum-scattered the cotangents);
+            # only the view replicas still need summing — N/D rows, not N.
+            if mesh.shape["views"] > 1:
+                g_loc = jax.tree.map(lambda g: lax.psum(g, "views"), g_loc)
+            loss = lax.psum(loss, axes)
+            updates, opt_loc = optimizer.update(g_loc, opt_loc, scene_loc)
+            scene_loc = optax.apply_updates(scene_loc, updates)
+            return (scene_loc, opt_loc), loss
+
+        (scene_loc, opt_loc), losses = lax.scan(
+            body, (scene_loc, opt_loc), None, length=steps)
+        return scene_loc, opt_loc, losses
+
+    return jax.jit(jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(scene_specs, P("views"), P("views", "tiles", None, None),
+                  opt_specs),
+        out_specs=(scene_specs, opt_specs, P()),
+        check_vma=False,
+    ))
+
+
+def zero_fit_steps(scene, cameras: Camera, targets, config: RenderConfig,
+                   mesh: Mesh, optimizer, steps: int, opt_state=None,
+                   band_layout: str = "interleaved"):
+    """Convenience wrapper: pad + init + run make_zero_fit_steps once.
+
+    ``targets`` are RAW [V, H, W, 4] images (shard_targets is applied here).
+    Returns (scene[true_n], opt_state, losses[steps]); pass opt_state back
+    in to continue (it stays padded/sharded between calls)."""
+    padded, n = pad_scene_to_mesh(scene, mesh)
+    if opt_state is None:
+        opt_state = optimizer.init(padded)
+    fit = make_zero_fit_steps(config, mesh, optimizer, steps, n,
+                              int(scene.sh.shape[-1]), band_layout)
+    targets = shard_targets(jnp.asarray(targets), config, mesh, band_layout)
+    padded, opt_state, losses = fit(padded, cameras, targets, opt_state)
+    sliced = jax.tree.map(lambda x: x[:n], padded)
+    return sliced, opt_state, losses

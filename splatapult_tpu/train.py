@@ -105,12 +105,19 @@ def _fit_steps(scene: GaussianScene, opt_state, cameras: Camera, targets,
 def fit_scene(scene: GaussianScene, cameras: Camera, targets, config: RenderConfig,
               steps: int = 100, learning_rate: float = 1e-2,
               optimizer: Optional[optax.GradientTransformation] = None,
-              mesh=None, callback: Optional[Callable] = None):
+              mesh=None, callback: Optional[Callable] = None,
+              param_shard: bool = False):
     """Optimize scene parameters against target images.
 
     mesh: optional jax.sharding.Mesh -> uses the SPMD train step with tile/view
     sharding and grad all-reduce (parallel/mesh.py) instead of the single-chip
     path. Returns (scene, [losses]).
+
+    param_shard=True (mesh only): ZeRO-style parameter sharding — scene and
+    optimizer state live sharded over the 'tiles' axis, grads complete
+    through the feature all_gather's transpose instead of a full grad
+    all-reduce (parallel/mesh.py make_zero_fit_steps; same update up to
+    float summation order).
     """
     if optimizer is None:
         # per-parameter learning-rate scaling in the spirit of the INRIA
@@ -133,8 +140,26 @@ def fit_scene(scene: GaussianScene, cameras: Camera, targets, config: RenderConf
     if mesh is not None:
         from splatapult_tpu.parallel.mesh import (
             make_sharded_fit_steps, shard_targets, sharded_train_step,
+            zero_fit_steps,
         )
 
+        if param_shard:
+            if callback is not None:
+                raise ValueError(
+                    "param_shard does not support a per-step callback: the "
+                    "ZeRO loop scans whole chunks on-device (one readback "
+                    "per chunk; a per-step callback would reintroduce the "
+                    "per-step host sync it exists to remove)")
+            targets = jnp.asarray(targets)
+            zstate, done = None, 0
+            while done < steps:
+                n = min(_FIT_CHUNK, steps - done)
+                scene, zstate, loss_arr = zero_fit_steps(
+                    scene, cameras, targets, config, mesh, optimizer, n,
+                    opt_state=zstate)
+                losses.extend(np.asarray(loss_arr).tolist())
+                done += n
+            return scene, losses
         targets = shard_targets(jnp.asarray(targets), config, mesh)
         if callback is None:
             # on-device scan in fixed-size chunks, exactly like the

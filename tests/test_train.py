@@ -113,3 +113,31 @@ def test_fit_demo_tiny_smoke(tmp_path):
     for f in ("before.png", "after.png", "target.png", "loss_curve.json"):
         assert (tmp_path / f).exists(), f
     assert not (tmp_path / "ckpt_mid.npz").exists()  # verified then removed
+
+
+def test_fit_with_mesh_param_shard():
+    """fit_scene(param_shard=True): the ZeRO loop converges like the
+    replicated mesh loop (same math; see test_parallel's equality tests)."""
+    from splatapult_tpu.parallel.mesh import make_render_mesh
+
+    target_scene = make_debug_scene()
+    cfg = RenderConfig(width=32, height=32, pipeline="tiled", tile_size=16,
+                       tile_block=8, max_instance_mult=20)
+    cams = _cameras()
+    targets = jnp.stack(
+        [render(target_scene, Camera(cam_to_world=m, proj=p), cfg)
+         for m, p in zip(cams.cam_to_world, cams.proj)]
+    )
+    start = GaussianScene(
+        means=target_scene.means,
+        sh=target_scene.sh * 0.5,
+        opacities=target_scene.opacities,
+        log_scales=target_scene.log_scales,
+        quats=target_scene.quats,
+    )
+    mesh = make_render_mesh(num_tile_shards=2, num_view_shards=2)
+    fitted, losses = fit_scene(start, cams, targets, cfg, steps=5,
+                               learning_rate=1e-2, mesh=mesh, param_shard=True)
+    assert fitted.means.shape == start.means.shape
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

@@ -135,10 +135,19 @@ def main():
         if shard_prepare:
             t["prepare"] = t_prep_1 / d
             if d > 1:
+                # forward feature all-gather AND its backward transpose (the
+                # psum-scatter of the ~14 feature-column cotangents) — both
+                # present in the replicated AND zero paths (HLO-verified,
+                # tests/test_parallel.py::test_zero_fit_no_full_size_grad_allreduce)
                 t["prep all-gather"] = n * PREP_FLOATS * 4 * (d - 1) / d / ICI_GBS
+                t["feat grad-scatter"] = n * PREP_FLOATS * 4 * (d - 1) / d / ICI_GBS
         else:
             t["prepare"] = t_prep_1  # replicated: flat in D
-        # grad all-reduce (ring): grows with D; overlappable vs bwd compute
+        # grad all-reduce (ring): grows with D; overlappable vs bwd compute.
+        # The ZeRO path (make_zero_fit_steps) ELIMINATES it on the tiles
+        # axis: parameters + optimizer state live sharded, grads complete
+        # through the feature all_gather's transpose (already counted above),
+        # and the optimizer update runs on N/D rows.
         t_ar = n * GRAD_FLOATS * 4 * 2 * (d - 1) / d / ICI_GBS
         compute = sum(t.values())
         hidden_ar = max(0.0, t_ar - t["bwd kernel"] - t["bwd tail"])
@@ -147,34 +156,45 @@ def main():
         print(f"\nD={d}: peak_band={peak} beta={beta:.3f} emax={grid.emax} "
               f"mcap={grid.mcap} mult={mult:.3f}")
         print(f"  {phase_str}  [ms]")
-        print(f"  compute={compute*1e3:.1f} ms  grad-AR={t_ar*1e3:.1f} ms "
-              f"(exposed-if-unhidden={hidden_ar*1e3:.1f})")
+        print(f"  compute={compute*1e3:.1f} ms  repl-grad-AR={t_ar*1e3:.1f} ms "
+              f"(exposed-if-unhidden={hidden_ar*1e3:.1f}; zero path: 0)")
 
     t1 = results[args.chips[0]][0] + (0 if args.chips[0] == 1 else 0)
     print("\nefficiency vs D=1 (total work fixed at one view):")
-    print(f"  {'D':>3} {'ms/chip (AR hidden)':>20} {'eff':>6} "
-          f"{'ms/chip (AR exposed)':>21} {'eff':>6}")
+    print(f"  {'D':>3} {'repl AR-hidden':>15} {'eff':>6} "
+          f"{'repl AR-exposed':>16} {'eff':>6} {'zero (no AR)':>13} {'eff':>6}")
     for d in args.chips:
         compute, t_ar, hidden_ar, *_ = results[d]
         td_hid = compute + hidden_ar
         td_exp = compute + (t_ar if d > 1 else 0.0)
+        td_zero = compute
         e_hid = t1 / (d * td_hid)
         e_exp = t1 / (d * td_exp)
-        print(f"  {d:>3} {td_hid*1e3:>20.1f} {e_hid:>6.1%} "
-              f"{td_exp*1e3:>21.1f} {e_exp:>6.1%}")
-    print("\n(>=85% bar: BASELINE config 5, 'N>=2 hosts'. 'AR hidden' "
-          "assumes the in-backward psum fully overlaps the backward — the "
-          "placement and AOT schedule evidence exist, PERF.md; 'exposed' "
-          "is the no-overlap worst case. beta = peak-band/mean-band "
+        e_zero = t1 / (d * td_zero)
+        print(f"  {d:>3} {td_hid*1e3:>13.1f}ms {e_hid:>6.1%} "
+              f"{td_exp*1e3:>14.1f}ms {e_exp:>6.1%} "
+              f"{td_zero*1e3:>11.1f}ms {e_zero:>6.1%}")
+    print("\n(>=85% bar: BASELINE config 5, 'N>=2 hosts'. 'repl' = replicated "
+          "scene, grads all-reduced — 'AR hidden' assumes the in-backward "
+          "psum fully overlaps the backward (placement + AOT schedule "
+          "evidence, PERF.md), 'exposed' is the no-overlap worst case. "
+          "'zero' = parameter-sharded make_zero_fit_steps: NO grad "
+          "all-reduce exists to hide — its efficiency needs no overlap "
+          "assumption (per-chip optimizer/update savings not modeled, so "
+          "'zero' is if anything conservative). beta = peak-band/mean-band "
           "imbalance; sorts scale superlinearly because lax.sort ns/row "
           "falls with row count.)")
-    print("\nAsymptotics: the D->inf limit is bounded by the per-chip O(N) "
-          "terms — the backward tail's per-splat segment-end gather "
-          "(~6.4 ns x N, flat in D) and the grad all-reduce (2(D-1)/D x "
-          "59 f32 x N over ICI). Named next lever if D>4 ever matters: "
-          "scatter per-splat sums from the <= mcap segment boundaries "
-          "instead of gathering at all N segment ends (wins only once "
-          "distinct-local-splats << N).")
+    print("\nAsymptotics: with the grad all-reduce eliminated (zero path), "
+          "the D->inf limit is bounded by ONE per-chip O(N) term: the "
+          "backward tail's per-splat segment-end gather (~6.4 ns x N, flat "
+          "in D). Named next lever if D>4 ever matters: scatter per-splat "
+          "sums from the <= mcap segment boundaries instead of gathering "
+          "at all N segment ends — measured XLA row-scatter is ~90 ns/row "
+          "(tools/probe_scatter.py), so it wins only once emax/D < N/14; "
+          "the sort-based alternative is an all-to-all exchange of the "
+          "splat-grouped compacted (id, segsum) streams so each chip "
+          "reduces only its own slice's segments (design sketched in "
+          "PERF.md r5).")
 
 
 if __name__ == "__main__":
