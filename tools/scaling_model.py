@@ -186,15 +186,15 @@ def main():
           "falls with row count.)")
     print("\nAsymptotics: with the grad all-reduce eliminated (zero path), "
           "the D->inf limit is bounded by ONE per-chip O(N) term: the "
-          "backward tail's per-splat segment-end gather (~6.4 ns x N, flat "
-          "in D). Named next lever if D>4 ever matters: scatter per-splat "
-          "sums from the <= mcap segment boundaries instead of gathering "
-          "at all N segment ends — measured XLA row-scatter is ~90 ns/row "
-          "(tools/probe_scatter.py), so it wins only once emax/D < N/14; "
-          "the sort-based alternative is an all-to-all exchange of the "
-          "splat-grouped compacted (id, segsum) streams so each chip "
-          "reduces only its own slice's segments (design sketched in "
-          "PERF.md r5).")
+          "backward tail's per-splat segment-end gather (~6.4-7.2 ns x N, "
+          "flat in D). Every replacement was probed at band scale and "
+          "REFUTED on this toolchain (tools/probe_scatter_set.py, "
+          "overhead-corrected; PERF.md r5 'segment-reduce endgame'): "
+          "1-col scatter-set has a fast path (5.3 ns/idx) but 2-col is "
+          "54 and 9-col 80 ns/idx, so the 9 gradient columns cannot ride "
+          "it (9 x 1-col = 1.5x the gather); sort-based expansion and the "
+          "all-to-all compacted exchange both pay a ~10-operand row "
+          "movement that costs the same as the gather they replace.")
 
 
 if __name__ == "__main__":
