@@ -53,6 +53,9 @@ def make_bench_scene(kind: str, num_splats: int, seed: int = 0):
     return make_garden_scene(num_splats, seed)
 
 
+_BENCH_OPT = None  # one optax object per process: make_zero_fit_steps caches by identity
+
+
 def bench_mesh(args, scene, config):
     """Scaling-efficiency harness (BASELINE configs 4-5, BASELINE.md: >=85%
     rays/s efficiency 1 -> N). Times the full SPMD train step (render + loss
@@ -117,6 +120,54 @@ def bench_mesh(args, scene, config):
 
         allreduce = getattr(args, "allreduce", "psum")
         shard_prepare = getattr(args, "shard_prepare", True)
+        param_shard = getattr(args, "param_shard", False)
+
+        if param_shard:
+            # ZeRO arm: the FULL config-5 step (fwd + bwd + sharded optax
+            # update, no grad all-reduce) as make_zero_fit_steps compiles
+            # it. K data-chained steps = the scan itself; per-step =
+            # (T_K - T_1)/(K - 1), same discipline as the value_and_grad
+            # arm. Both shard counts run the same program shape, so the
+            # efficiency ratio stays like-for-like.
+            import optax
+
+            from splatapult_tpu.parallel.mesh import (
+                make_zero_fit_steps, pad_scene_to_mesh,
+            )
+
+            opt = _BENCH_OPT if _BENCH_OPT is not None else optax.adam(1e-3)
+            globals()["_BENCH_OPT"] = opt
+            padded, true_n = pad_scene_to_mesh(scene, mesh)
+            opt_state = opt.init(padded)
+            sh_k = int(scene.sh.shape[-1])
+
+            def timed_steps(k):
+                fit = make_zero_fit_steps(cfg, mesh, opt, k, true_n, sh_k)
+
+                def run(s, c, t, o):
+                    s2, o2, losses = fit(s, c, t, o)
+                    # chain EVERY updated leaf: at k=1 the losses only read
+                    # the pre-update scene, so an unchained leaf's optax
+                    # update would be DCE'd and deflate the T_1 baseline
+                    chain = sum(jnp.sum(l) for l in jax.tree.leaves(s2))
+                    return jnp.sum(losses) + chain * 1e-30
+
+                runner = jax.jit(run)
+                float(runner(padded, cam, targets, opt_state))  # compile
+                t0 = time.perf_counter()
+                float(runner(padded, cam, targets, opt_state))
+                return time.perf_counter() - t0
+
+            t1 = timed_steps(1)
+            tk = timed_steps(args.iters)
+            dt = max((tk - t1) / max(args.iters - 1, 1), 1e-9)
+            rates[shards] = args.width * args.height * views / dt
+            if args.verbose:
+                import sys
+
+                print(f"# mesh={shards} (zero): {dt * 1e3:.2f} ms/step, "
+                      f"{rates[shards] / 1e6:.2f} Mpx/s", file=sys.stderr)
+            continue
 
         def k_steps(s, c, t, k_iters, cfg=cfg, mesh=mesh):
             def body(_, eps):
@@ -156,6 +207,7 @@ def bench_mesh(args, scene, config):
         f"rate_{n}chip_px_s": rates[n],
         "allreduce": allreduce,
         "shard_prepare": shard_prepare,
+        "param_shard": getattr(args, "param_shard", False),
         "instance_mult_1chip": mults[1],
         f"instance_mult_{n}chip": mults[n],
     }))
@@ -205,6 +257,12 @@ def main():
              "(each chip prepares N/D splats + one 56 B/splat all-gather "
              "over ICI) instead of replicating it; --no-shard-prepare for "
              "the replicated A/B arm",
+    )
+    parser.add_argument(
+        "--param-shard", action="store_true",
+        help="for --mesh: time the ZeRO parameter-sharded full train step "
+             "(make_zero_fit_steps: sharded params + optax, NO grad "
+             "all-reduce) instead of the replicated value_and_grad step",
     )
     parser.add_argument(
         "--allreduce", default="psum", choices=("psum", "ring"),

@@ -691,31 +691,40 @@ def shard_targets(targets, config: RenderConfig, mesh: Mesh,
 # prepare_splats is the ONLY consumer of the scene parameters, it is
 # elementwise per splat, and the sharded prepare already all-gathers its ~14
 # output floats per splat. So shard the parameters themselves (the classic
-# TPU ZeRO/FSDP recipe, over the splat axis instead of a weight axis):
+# TPU ZeRO/FSDP recipe, over the splat axis instead of a weight axis) —
+# over BOTH mesh axes, so pure view-parallel (data-parallel) meshes get the
+# same win:
 #
-# - each chip OWNS splats [c*chunk, (c+1)*chunk): parameters AND optimizer
-#   state live sharded (P('tiles') on the splat axis) — per-chip param +
-#   Adam memory drops from ~244 B/splat x N to x N/D;
-# - forward: local prepare on the owned chunk, all_gather the 56 B/splat
-#   feature columns over 'tiles' (ALREADY the sharded-prepare cost — the
-#   parameters themselves never cross ICI);
-# - backward: the all_gather transposes to a psum_scatter of the ~14
-#   feature-column cotangents (14 f32 x (D-1)/D x N — 8.7x fewer ICI bytes
-#   than the replicated path's grad all-reduce), then the prepare VJP runs
-#   on the owned chunk only. The 59-float/splat gradient tree NEVER crosses
-#   the 'tiles' axis; only the small per-chunk grads psum over 'views'.
-# - update: optax runs on the owned chunk (O(N/D) instead of O(N)).
+# - chip (v, t) OWNS splats [(t*V + v)*chunk, ...): parameters AND optimizer
+#   state live sharded (P(('tiles','views')) on the splat axis, tiles-major)
+#   — per-chip param + Adam memory drops from ~244 B/splat x N to x N/(V*T);
+# - the two axes move DIFFERENT things, each the cheapest that is correct:
+#   * views axis: PARAMETERS cross (classic FSDP) — features cannot, since
+#     each views-row renders its own cameras. One 59-float/splat-of-N/T
+#     param all_gather per step forward; its transpose reduce-scatters the
+#     chunk grads back. Same ICI bytes as the replicated grad psum, but
+#     memory sharded V-fold and the gather is a step-START collective the
+#     scheduler can overlap with the previous update instead of a terminal
+#     all-reduce nothing can hide.
+#   * tiles axis: FEATURES cross (prepare_splats is the only consumer of
+#     the parameters and is elementwise) — the ~14-column all_gather whose
+#     transpose psum-scatters the cotangents. 14 f32 each way instead of
+#     the 59-float tree twice: a ~4.2x ICI cut on this axis, HLO-verified
+#     (no full-[N] gradient all-reduce exists in the compiled step).
+# - update: optax runs on the owned chunk (O(N/(V*T)) instead of O(N)).
 #
 # The reference has no analog (single GPU, forward only); this is the
 # framework's own BASELINE config-5 north star ("grad all-reduce overlapped"
-# becomes "grad all-reduce ELIMINATED" for the tiles axis).
+# becomes "grad all-reduce eliminated on tiles, reshaped to an
+# overlappable step-start gather on views").
 
 
 def pad_scene_to_mesh(scene, mesh: Mesh):
-    """Pad scene leaves so the splat count divides the 'tiles' axis ->
+    """Pad scene leaves so the splat count divides the FULL device count
+    (views x tiles — the ZeRO path shards parameters over both axes) ->
     (padded_scene, true_n). Pad rows are inert (see _pad_scene) and sit at
     the global tail, so the gathered feature slice [:true_n] drops them."""
-    d = mesh.shape["tiles"]
+    d = mesh.shape["tiles"] * mesh.shape["views"]
     n = scene.means.shape[0]
     chunk = -(-n // d)
     return _pad_scene(scene, chunk * d), n
@@ -734,11 +743,18 @@ def _abstract_scene(npad: int, sh_k: int):
     )
 
 
+_ZAXES = ("tiles", "views")  # ZeRO shards the splat axis over BOTH mesh axes,
+# TILES-MAJOR: chip (v, t) owns chunk t*V + v, so the per-step views-axis
+# param all_gather yields the contiguous global block t, and the per-view
+# tiles-axis feature all_gather then reassembles global splat order
+
+
 def _axis0_specs(shapes, npad: int):
-    """P('tiles') for [npad, ...] leaves (sharded splat axis), P() for the
-    rest (optax step counters and other scalars stay replicated)."""
+    """P(('views','tiles')) for [npad, ...] leaves (splat axis sharded over
+    the whole mesh), P() for the rest (optax step counters and other
+    scalars stay replicated)."""
     return jax.tree.map(
-        lambda x: P("tiles") if (x.ndim >= 1 and x.shape[0] == npad) else P(),
+        lambda x: P(_ZAXES) if (x.ndim >= 1 and x.shape[0] == npad) else P(),
         shapes,
     )
 
@@ -751,8 +767,9 @@ def make_zero_fit_steps(config: RenderConfig, mesh: Mesh, optimizer,
 
     Signature of the returned fn: (padded_scene, cameras, targets,
     opt_state) -> (padded_scene, opt_state, losses[steps]), where
-    padded_scene/opt_state leaves are sharded P('tiles') on the splat axis
-    (see pad_scene_to_mesh; opt_state from optimizer.init(padded_scene)).
+    padded_scene/opt_state leaves are sharded P(('views', 'tiles')) on the
+    splat axis (see pad_scene_to_mesh; opt_state from
+    optimizer.init(padded_scene)).
 
     Numerics: the forward is bit-identical to the replicated sharded step
     (prepare is elementwise; the all_gather reassembles the same columns).
@@ -765,23 +782,38 @@ def make_zero_fit_steps(config: RenderConfig, mesh: Mesh, optimizer,
     import optax
 
     num_shards = mesh.shape["tiles"]
-    chunk = -(-num_splats // num_shards)
-    npad = chunk * num_shards
+    n_dev = num_shards * mesh.shape["views"]
+    chunk = -(-num_splats // n_dev)
+    npad = chunk * n_dev
     band_h = _shard_config(config, num_shards).height
     band_fn = _band_fn(band_layout)
     ts = config.tile_size
     axes = ("views", "tiles")
 
     abstract = _abstract_scene(npad, sh_k)
-    scene_specs = jax.tree.map(lambda x: P("tiles"), abstract)
+    scene_specs = jax.tree.map(lambda x: P(_ZAXES), abstract)
+    v_axis = mesh.shape["views"]
     opt_specs = _axis0_specs(jax.eval_shape(optimizer.init, abstract), npad)
 
     def shard_body(scene_loc, cameras, targets, opt_loc):
         d = lax.axis_index("tiles")
 
         def loss_fn(scene_loc):
+            # views axis: PARAMETERS cross (classic FSDP) — features cannot,
+            # because each views-row computes features under its OWN cameras.
+            # One param all_gather per step; its transpose reduce-scatters
+            # the chunk grads back, so the views axis trades the replicated
+            # path's grad-psum bytes for the same-sized param-gather bytes
+            # while still sharding params + optimizer state V-fold.
+            scene_row = (scene_loc if v_axis == 1 else jax.tree.map(
+                lambda x: lax.all_gather(x, "views", axis=0, tiled=True),
+                scene_loc))  # contiguous global block t: rows [t*N/T, ...)
+
             def one_view(cam, tgt):
-                sp = prepare_splats(scene_loc, cam, config, sort=False)
+                sp = prepare_splats(scene_row, cam, config, sort=False)
+                # tiles axis: FEATURES cross (the ~14-column all_gather whose
+                # transpose psum-scatters the cotangents — the 4.2x ICI cut
+                # vs all-reducing the 59-float grad tree)
                 splats = jax.tree.map(
                     lambda x: lax.all_gather(
                         x, "tiles", axis=0, tiled=True)[:num_splats], sp)
@@ -801,11 +833,10 @@ def make_zero_fit_steps(config: RenderConfig, mesh: Mesh, optimizer,
         def body(carry, _):
             scene_loc, opt_loc = carry
             loss, g_loc = jax.value_and_grad(loss_fn)(scene_loc)
-            # grads of the owned chunk are complete over 'tiles' (the
-            # feature all_gather's transpose psum-scattered the cotangents);
-            # only the view replicas still need summing — N/D rows, not N.
-            if mesh.shape["views"] > 1:
-                g_loc = jax.tree.map(lambda g: lax.psum(g, "views"), g_loc)
+            # grads of the owned chunk are complete over BOTH axes: the
+            # tiles feature-gather and views param-gather transposes
+            # (psum-scatter / reduce-scatter) summed everything on the way
+            # back — no explicit gradient collective remains.
             loss = lax.psum(loss, axes)
             updates, opt_loc = optimizer.update(g_loc, opt_loc, scene_loc)
             scene_loc = optax.apply_updates(scene_loc, updates)

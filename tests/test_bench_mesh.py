@@ -74,3 +74,24 @@ def test_bench_mesh_sharded_losses_match_across_shard_counts():
         losses[shards] = float(loss)
         assert np.all(np.isfinite(np.asarray(grads.means))), shards
     np.testing.assert_allclose(losses[1], losses[4], rtol=1e-5)
+
+
+def test_bench_mesh_param_shard_arm_runs_on_virtual_mesh(capsys):
+    """--param-shard times the ZeRO full train step (sharded params + optax,
+    no grad all-reduce) through the same efficiency harness."""
+    args = argparse.Namespace(
+        mesh=4, views=2, width=64, height=64, iters=2, verbose=False,
+        allreduce="psum", instance_mult=0.0, shard_prepare=True,
+        param_shard=True,
+    )
+    scene = bench.make_scene(512, seed=0)
+    config = RenderConfig(
+        width=64, height=64, pipeline="tiled", tile_size=16, tile_block=8,
+        max_instance_mult=20,
+    )
+    bench.bench_mesh(args, scene, config)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["param_shard"] is True
+    assert np.isfinite(rec["value"]) and rec["value"] > 0
+    assert np.isfinite(rec["rate_4chip_px_s"]) and rec["rate_4chip_px_s"] > 0
