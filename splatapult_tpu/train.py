@@ -6,9 +6,9 @@ production loop on top of it: render -> pixel loss -> grads to every splat
 parameter -> optax update, single- or multi-chip (parallel/mesh.py).
 
 This is deliberately a *library* (fit_scene + TrainState), not a full trainer
-binary: densification/pruning schedules of the INRIA trainer are out of scope
-for capability parity with the reference viewer, but the gradient machinery
-they need is all here.
+binary. The INRIA trainer's adaptive density control (clone/split/prune)
+lives in densify.py on top of _grad_stat_fit_steps' on-device grad-norm
+accumulation; fit_scene itself keeps the splat count static.
 """
 
 from __future__ import annotations
@@ -30,8 +30,8 @@ def l2_image_loss(img, target):
     return jnp.mean((img - target) ** 2)
 
 
-def _train_step_impl(scene: GaussianScene, opt_state, cameras: Camera, targets,
-                     config: RenderConfig, optimizer):
+def _batch_value_and_grad(scene: GaussianScene, cameras: Camera, targets,
+                          config: RenderConfig):
     # Per-view gradient ACCUMULATION (lax.scan of one-view value_and_grad
     # into carried sums) rather than differentiating through a view batch:
     # the mean of per-view losses has the mean of per-view grads, so this
@@ -58,8 +58,12 @@ def _train_step_impl(scene: GaussianScene, opt_state, cameras: Camera, targets,
     (loss_sum, gsum), _ = jax.lax.scan(
         body, (jnp.float32(0.0), zero_g),
         (cameras.cam_to_world, cameras.proj, targets))
-    loss = loss_sum / v
-    grads = jax.tree.map(lambda g: g / v, gsum)
+    return loss_sum / v, jax.tree.map(lambda g: g / v, gsum)
+
+
+def _train_step_impl(scene: GaussianScene, opt_state, cameras: Camera, targets,
+                     config: RenderConfig, optimizer):
+    loss, grads = _batch_value_and_grad(scene, cameras, targets, config)
     updates, opt_state = optimizer.update(grads, opt_state, scene)
     scene = optax.apply_updates(scene, updates)
     return scene, opt_state, loss
@@ -102,6 +106,30 @@ def _fit_steps(scene: GaussianScene, opt_state, cameras: Camera, targets,
     return scene, opt_state, losses
 
 
+@functools.partial(jax.jit, static_argnames=("config", "optimizer", "steps"))
+def _grad_stat_fit_steps(scene: GaussianScene, opt_state, cameras: Camera,
+                         targets, config: RenderConfig, optimizer, steps: int):
+    """_fit_steps that ALSO accumulates each splat's positional-gradient
+    norm on device -> (scene, opt_state, losses[steps], gnorm_sum[N]).
+
+    The [N] accumulator rides the same lax.scan carry, so adaptive density
+    control (densify.py) gets its statistics with zero extra host syncs —
+    the INRIA trainer's grad-norm bookkeeping, restructured for XLA."""
+
+    def body(carry, _):
+        scene, opt_state, acc = carry
+        loss, grads = _batch_value_and_grad(scene, cameras, targets, config)
+        acc = acc + jnp.linalg.norm(grads.means, axis=1)
+        updates, opt_state = optimizer.update(grads, opt_state, scene)
+        scene = optax.apply_updates(scene, updates)
+        return (scene, opt_state, acc), loss
+
+    acc0 = jnp.zeros((scene.means.shape[0],), jnp.float32)
+    (scene, opt_state, acc), losses = jax.lax.scan(
+        body, (scene, opt_state, acc0), None, length=steps)
+    return scene, opt_state, losses, acc
+
+
 def fit_scene(scene: GaussianScene, cameras: Camera, targets, config: RenderConfig,
               steps: int = 100, learning_rate: float = 1e-2,
               optimizer: Optional[optax.GradientTransformation] = None,
@@ -114,10 +142,11 @@ def fit_scene(scene: GaussianScene, cameras: Camera, targets, config: RenderConf
     path. Returns (scene, [losses]).
 
     param_shard=True (mesh only): ZeRO-style parameter sharding — scene and
-    optimizer state live sharded over the 'tiles' axis, grads complete
-    through the feature all_gather's transpose instead of a full grad
-    all-reduce (parallel/mesh.py make_zero_fit_steps; same update up to
-    float summation order).
+    optimizer state live sharded over BOTH mesh axes; over 'tiles' grads
+    complete through the feature all_gather's transpose instead of a full
+    grad all-reduce, over 'views' parameters ride a step-start FSDP gather
+    (parallel/mesh.py make_zero_fit_steps; same update up to float
+    summation order).
     """
     if optimizer is None:
         # per-parameter learning-rate scaling in the spirit of the INRIA
