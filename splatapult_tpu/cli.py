@@ -20,6 +20,7 @@ auto-discovery and application (app.cpp:443-461, 578).
 from __future__ import annotations
 
 import argparse
+import json
 import logging
 import os
 import sys
@@ -304,6 +305,122 @@ def cmd_bench(args):
     }))
 
 
+def _orbit_rig(scene, n_views, width, height, fovy, near=0.1, far=1000.0):
+    """Deterministic orbit camera batch around the scene centroid (the rig
+    `fit --orbit` uses; tests render targets with the same rig)."""
+    import jax.numpy as jnp
+
+    from splatapult_tpu.core import transforms as T
+    from splatapult_tpu.render import Camera
+
+    means = np.asarray(scene.means)
+    center = means.mean(0)
+    radius = max(float(np.percentile(
+        np.linalg.norm(means - center, axis=1), 90)) * 2.2, 1e-3)
+    mats, projs = [], []
+    for a in np.linspace(0, 2 * np.pi, n_views, endpoint=False):
+        eye = center + radius * np.asarray(
+            [np.cos(a), 0.35, np.sin(a)], np.float32)
+        c = Camera.from_fov(
+            T.look_at(eye=eye.tolist(), target=center.tolist(),
+                      up=[0.0, 1.0, 0.0]),
+            fovy=fovy, width=width, height=height, near=near, far=far)
+        mats.append(c.cam_to_world)
+        projs.append(c.proj)
+    return Camera(cam_to_world=jnp.stack(mats), proj=jnp.stack(projs))
+
+
+def cmd_fit(args):
+    """Optimize the scene against target images: the trainer-side loop the
+    reference only consumes the output of (ref README.md:70-83 — "generate
+    the .ply with the INRIA trainer"; here the framework IS a trainer).
+    Targets are PNGs in sorted-glob order; cameras come from a discovered
+    cameras.json (same convention as `path`) or a generated orbit rig."""
+    import glob as globlib
+
+    import jax.numpy as jnp
+
+    from splatapult_tpu.io.gaussians import save_gaussian_ply
+    from splatapult_tpu.render import Camera
+    from splatapult_tpu.utils.image import load_png
+
+    scene, cameras, floor, _ = _load_scene_and_assets(args)
+    if floor is not None:
+        from splatapult_tpu.render import with_floor_transform
+
+        scene = with_floor_transform(scene, floor)
+    paths = sorted(globlib.glob(args.targets))
+    if not paths:
+        sys.exit(f"no target images match --targets {args.targets!r}")
+    raw = [load_png(p) for p in paths]
+    h, w = raw[0].shape[:2]
+    t4 = []
+    for p, t in zip(paths, raw):
+        if t.shape[:2] != (h, w):
+            sys.exit(f"target {p} is {t.shape[1]}x{t.shape[0]}, "
+                     f"expected {w}x{h} (all targets must match)")
+        if t.ndim == 2:
+            t = np.repeat(t[..., None], 3, axis=-1)
+        if t.shape[-1] == 3:
+            # RGB PNGs fit against alpha = 1 (opaque full-frame capture);
+            # RGBA PNGs (save_png keep_alpha) carry their own coverage
+            t = np.concatenate([t, np.ones_like(t[..., :1])], axis=-1)
+        t4.append(t.astype(np.float32))
+    targets = jnp.asarray(np.stack(t4))
+
+    args.width, args.height = w, h
+    cfg = _config(args)
+    if cfg.pipeline == "auto":
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, pipeline="tiled")
+
+    if cameras and not args.orbit:
+        if len(cameras) < len(paths):
+            sys.exit(f"{len(paths)} targets but only {len(cameras)} cameras "
+                     f"in cameras.json")
+        mats, projs = [], []
+        for info in cameras[: len(paths)]:
+            c = Camera.from_fov(info.cam_to_world, fovy=float(info.fov[1]),
+                                width=w, height=h, near=args.near, far=args.far)
+            mats.append(c.cam_to_world)
+            projs.append(c.proj)
+        batch = Camera(cam_to_world=jnp.stack(mats), proj=jnp.stack(projs))
+    else:
+        batch = _orbit_rig(scene, len(paths), w, h,
+                           fovy=np.deg2rad(args.fovy),
+                           near=args.near, far=args.far)
+        if not cameras and not args.orbit:
+            log.warning("no cameras.json discovered: fitting against a "
+                        "generated orbit rig (pass --orbit to silence)")
+
+    from splatapult_tpu.render import calibrate_config
+
+    cfg = calibrate_config(scene, batch, cfg)
+    t0 = time.time()
+    if args.adaptive:
+        from splatapult_tpu.densify import DensifyConfig, fit_scene_adaptive
+
+        scene, losses, events = fit_scene_adaptive(
+            scene, batch, targets, cfg, steps=args.steps,
+            densify_every=args.densify_every, learning_rate=args.lr,
+            densify=DensifyConfig(max_splats=args.max_splats))
+    else:
+        from splatapult_tpu.train import fit_scene
+
+        scene, losses = fit_scene(scene, batch, targets, cfg,
+                                  steps=args.steps, learning_rate=args.lr)
+        events = []
+    dt = time.time() - t0
+    save_gaussian_ply(args.output, scene)
+    print(json.dumps({
+        "steps": args.steps, "views": len(paths),
+        "loss_first": float(losses[0]), "loss_last": float(losses[-1]),
+        "splats": scene.num_gaussians, "densify_events": events,
+        "seconds": round(dt, 2), "output": args.output,
+    }))
+
+
 def cmd_save_pose(args):
     """Persist a viewpoint as <ply>_vr.json — the reference's Return-key pose
     save (ref: src/app.cpp:700-732): on desktop it stores the camera matrix
@@ -429,6 +546,28 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--iters", type=int, default=20)
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("fit", help="optimize the scene against target PNGs "
+                                   "(trainer loop; optional adaptive "
+                                   "densification)")
+    _add_common(p)
+    p.add_argument("--targets", required=True,
+                   help="glob of target PNGs, sorted order = camera order")
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--adaptive", action="store_true",
+                   help="INRIA-style adaptive density control "
+                        "(densify.py clone/split/prune)")
+    p.add_argument("--densify-every", type=int, default=100)
+    p.add_argument("--max-splats", type=int, default=8_000_000)
+    p.add_argument("--orbit", action="store_true",
+                   help="ignore cameras.json and fit against a generated "
+                        "orbit rig (one view per target, same order "
+                        "targets were rendered in). The rig derives from "
+                        "the INPUT scene's centroid/extent, so targets "
+                        "must have been rendered with the same rig "
+                        "geometry (_orbit_rig) for poses to align")
+    p.set_defaults(fn=cmd_fit, output="fitted.ply")
 
     p = sub.add_parser(
         "save-pose",

@@ -174,3 +174,53 @@ def test_cli_render_stereo_global_fallback(tmp_path, test_ply_path):
     ])
     img = load_png(out)
     assert img.shape == (32, 64, 3)  # L/R side by side
+
+
+def test_cli_fit_orbit(tmp_path, capsys):
+    """`fit --orbit --adaptive`: render targets from a debug scene with the
+    CLI's own orbit rig, perturb the scene, fit it back. Loss must drop and
+    the output PLY must load."""
+    import jax
+    import jax.numpy as jnp
+
+    from splatapult_tpu.cli import _orbit_rig
+    from splatapult_tpu.io.gaussians import (
+        load_gaussian_ply, make_debug_scene, save_gaussian_ply,
+    )
+    from splatapult_tpu.render import Camera, RenderConfig, render
+    from splatapult_tpu.utils.image import save_png
+
+    scene = make_debug_scene()
+    w = h = 32
+    cfg = RenderConfig(width=w, height=h, pipeline="tiled", tile_size=16,
+                       tile_block=8, max_instance_mult=20)
+    rig = _orbit_rig(scene, 3, w, h, fovy=np.deg2rad(45.0))
+    for i in range(3):
+        img = render(scene, Camera(cam_to_world=rig.cam_to_world[i],
+                                   proj=rig.proj[i]), cfg)
+        save_png(str(tmp_path / f"t_{i:02d}.png"), np.asarray(img),
+                 keep_alpha=True)
+
+    import dataclasses
+
+    pert = dataclasses.replace(scene, means=scene.means + 0.04,
+                               opacities=scene.opacities - 0.3)
+    in_ply = str(tmp_path / "in.ply")
+    out_ply = str(tmp_path / "out.ply")
+    save_gaussian_ply(in_ply, pert)
+
+    main(["fit", in_ply, "--targets", str(tmp_path / "t_*.png"),
+          "--orbit", "--adaptive", "--densify-every", "4", "--steps", "8",
+          "--lr", "0.01", "--tile-size", "16", "-o", out_ply])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["views"] == 3 and rec["steps"] == 8
+    assert np.isfinite(rec["loss_first"]) and np.isfinite(rec["loss_last"])
+    # an 8-step adaptive run is NOT monotone (the optimizer restarts at the
+    # densify boundary, and split children resample positions — at 16 splats
+    # that perturbation can exceed the tiny starting loss); convergence is
+    # pinned by test_densify's end-to-end test — here assert the loop is
+    # sane (absolute bound, no blow-up) and densification actually ran
+    assert rec["loss_last"] < 0.01
+    assert len(rec["densify_events"]) >= 1
+    fitted = load_gaussian_ply(out_ply)
+    assert fitted.num_gaussians == rec["splats"]
