@@ -709,7 +709,8 @@ def shard_targets(targets, config: RenderConfig, mesh: Mesh,
 #   * tiles axis: FEATURES cross (prepare_splats is the only consumer of
 #     the parameters and is elementwise) — the ~14-column all_gather whose
 #     transpose psum-scatters the cotangents. 14 f32 each way instead of
-#     the 59-float tree twice: a ~4.2x ICI cut on this axis, HLO-verified
+#     the 118 f32/splat gradient all-reduce: total tiles-axis traffic
+#     drops 146 -> 28 f32/splat (5.2x), HLO-verified
 #     (no full-[N] gradient all-reduce exists in the compiled step).
 # - update: optax runs on the owned chunk (O(N/(V*T)) instead of O(N)).
 #
@@ -811,9 +812,10 @@ def make_zero_fit_steps(config: RenderConfig, mesh: Mesh, optimizer,
 
             def one_view(cam, tgt):
                 sp = prepare_splats(scene_row, cam, config, sort=False)
-                # tiles axis: FEATURES cross (the ~14-column all_gather whose
-                # transpose psum-scatters the cotangents — the 4.2x ICI cut
-                # vs all-reducing the 59-float grad tree)
+                # tiles axis: FEATURES cross (the ~14-column all_gather
+                # whose transpose psum-scatters the cotangents; the
+                # 118 f32/splat grad all-reduce is gone — 146 -> 28
+                # f32/splat total on this axis)
                 splats = jax.tree.map(
                     lambda x: lax.all_gather(
                         x, "tiles", axis=0, tiled=True)[:num_splats], sp)
